@@ -1,0 +1,108 @@
+"""The reference demo scenes, rebuilt as data.
+
+Each function returns (scene: SceneData builder already compiled, plus the
+camera/config used by that stage's golden render). Scene constants are
+extracted from the stage main()s / MainWindow click handlers — cited inline.
+"""
+
+from __future__ import annotations
+
+from .scene import (
+    DiffuseMaterial,
+    PhongMaterial,
+    Plane,
+    RectangleLight,
+    Scene,
+    ShapeLight,
+    Sphere,
+)
+
+
+def stage1_scene() -> Scene:
+    """Pink plane at y=-2 (Rayito_Stage1/main.cpp:70-74). No bullseye."""
+    s = Scene()
+    s.add(
+        Plane(
+            position=(0.0, -2.0, 0.0),
+            normal=(0.0, 1.0, 0.0),
+            material=DiffuseMaterial((1.0, 0.5, 0.8)),
+        )
+    )
+    return s
+
+
+STAGE1_CAMERA = ((0.0, 0.0, 0.0), (0.0, 0.0, 1.0), (0.0, 1.0, 0.0))
+STAGE1_FOV = 30.0
+
+
+def stage2_scene() -> Scene:
+    """White bullseye plane + two rect lights (Rayito_Stage2/main.cpp:96-118)."""
+    s = Scene()
+    s.add(
+        Plane(
+            position=(0.0, -2.0, 0.0),
+            normal=(0.0, 1.0, 0.0),
+            material=DiffuseMaterial((1.0, 1.0, 1.0)),
+            bullseye=True,
+        )
+    )
+    s.add(
+        RectangleLight(
+            corner=(-2.5, 2.0, -2.5),
+            side1=(5.0, 0.0, 0.0),
+            side2=(0.0, 0.0, 5.0),
+            color=(1.0, 0.5, 1.0),
+            power=3.0,
+        )
+    )
+    s.add(
+        RectangleLight(
+            corner=(-2.0, -1.0, -2.0),
+            side1=(4.0, 0.0, 0.0),
+            side2=(0.0, 0.0, 4.0),
+            color=(1.0, 1.0, 0.5),
+            power=0.75,
+        )
+    )
+    return s
+
+
+STAGE23_CAMERA = ((0.0, 5.0, 15.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+STAGE23_FOV = 45.0
+
+
+def stage3_scene() -> Scene:
+    """Bullseye plane, lambert+phong spheres, rect light, sphere ShapeLight
+    (Rayito_Stage3/main.cpp:164-201). Stage 4's scene is identical
+    (Rayito_Stage4/main.cpp)."""
+    s = Scene()
+    blueish = DiffuseMaterial((0.9, 0.9, 1.0))
+    purplish = DiffuseMaterial((0.9, 0.7, 0.8))
+    greenish = PhongMaterial((0.7, 0.9, 0.7), 16.0)
+    s.add(
+        Plane(
+            position=(0.0, -2.0, 0.0),
+            normal=(0.0, 1.0, 0.0),
+            material=blueish,
+            bullseye=True,
+        )
+    )
+    s.add(Sphere(position=(3.0, -1.0, 0.0), radius=1.0, material=purplish))
+    s.add(Sphere(position=(-3.0, 0.0, -2.0), radius=2.0, material=greenish))
+    s.add(
+        RectangleLight(
+            corner=(-2.5, 4.0, -2.5),
+            side1=(5.0, 0.0, 0.0),
+            side2=(0.0, 0.0, 5.0),
+            color=(1.0, 1.0, 1.0),
+            power=1.0,
+        )
+    )
+    s.add(
+        ShapeLight(
+            Sphere(position=(0.0, 0.0, 2.0), radius=1.0, material=blueish),
+            color=(1.0, 1.0, 0.1),
+            power=4.0,
+        )
+    )
+    return s

@@ -1,0 +1,548 @@
+"""Scene description: Python builder objects compiled to flat device arrays.
+
+The reference represents a scene as a pointer graph of virtual ``Shape``
+subclasses (Rayito_Stage7_QT/RScene.h, RLight.h, RMesh.h). On TPU, virtual
+dispatch is replaced by *kind-segregated flat arrays*: all spheres in one SoA
+block, all planes in another, etc. ``Scene.compile()`` lowers the builder graph
+into a single :class:`SceneData` pytree that jitted kernels consume.
+
+Shape identity (needed for NEE/MIS "did the BRDF sample hit the chosen light?",
+RaytraceMain.cpp:422-424) is a dense global ``shape_id`` assigned at compile
+time; every light records the shape_id of its geometry.
+
+Material kinds: 0 lambert, 1 glossy, 2 perfect reflection, 3 emitter,
+4 phong (the stage-3/4 direct-shading material, Rayito_Stage3/rayito.h:455-480).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAT_LAMBERT = 0
+MAT_GLOSSY = 1
+MAT_REFLECTION = 2
+MAT_EMITTER = 3
+MAT_PHONG = 4
+
+LIGHT_RECT = 0
+LIGHT_SPHERE = 1
+LIGHT_MESH = 2
+
+
+# ---------------------------------------------------------------------------
+# Builder-side objects (host, plain Python)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Material:
+    """One row of the material table. Mirrors the reference material set
+    (Rayito_Stage7_QT/RMaterial.h:455-555)."""
+
+    kind: int
+    color: Sequence[float]
+    param: float = 0.0  # roughness (glossy), exponent (phong), power (emitter)
+
+
+def DiffuseMaterial(color):
+    return Material(MAT_LAMBERT, color)
+
+
+def GlossyMaterial(color, roughness):
+    return Material(MAT_GLOSSY, color, roughness)
+
+
+def ReflectionMaterial(color):
+    return Material(MAT_REFLECTION, color)
+
+
+def EmitterMaterial(color, power):
+    return Material(MAT_EMITTER, color, power)
+
+
+def PhongMaterial(color, exponent):
+    return Material(MAT_PHONG, color, exponent)
+
+
+@dataclasses.dataclass
+class Transform:
+    """Keyed Scale->Rotate->Translate track (RMath.h:619-941). Keys are
+    parallel lists; a static shape has one key with identity TRS."""
+
+    times: List[float] = dataclasses.field(default_factory=lambda: [0.0])
+    translations: List[Sequence[float]] = dataclasses.field(
+        default_factory=lambda: [(0.0, 0.0, 0.0)]
+    )
+    scales: List[Sequence[float]] = dataclasses.field(
+        default_factory=lambda: [(1.0, 1.0, 1.0)]
+    )
+    rotations: List[Sequence[float]] = dataclasses.field(
+        default_factory=lambda: [(1.0, 0.0, 0.0, 0.0)]  # (w, x, y, z)
+    )
+
+    @property
+    def num_keys(self):
+        return len(self.times)
+
+    def is_identity(self) -> bool:
+        return (
+            self.num_keys == 1
+            and tuple(self.translations[0]) == (0.0, 0.0, 0.0)
+            and tuple(self.scales[0]) == (1.0, 1.0, 1.0)
+            and tuple(self.rotations[0]) == (1.0, 0.0, 0.0, 0.0)
+        )
+
+
+@dataclasses.dataclass
+class Plane:
+    """Infinite one-sided plane with optional bullseye texture
+    (RScene.h:273-378)."""
+
+    position: Sequence[float]
+    normal: Sequence[float]
+    material: Material
+    bullseye: bool = False
+    transform: Transform = dataclasses.field(default_factory=Transform)
+
+
+@dataclasses.dataclass
+class Sphere:
+    position: Sequence[float]
+    radius: float
+    material: Material
+    transform: Transform = dataclasses.field(default_factory=Transform)
+
+
+@dataclasses.dataclass
+class RectangleLight:
+    """Double-sided parallelogram area light (RLight.h:43-247)."""
+
+    corner: Sequence[float]
+    side1: Sequence[float]
+    side2: Sequence[float]
+    color: Sequence[float]
+    power: float
+    transform: Transform = dataclasses.field(default_factory=Transform)
+
+
+@dataclasses.dataclass
+class TriangleMesh:
+    """Indexed triangle mesh. Polygon faces from OBJ are fan-triangulated at
+    load time (see models/obj.py); ``face_ids`` keeps the original face index
+    per triangle so face-level semantics (area CDFs) survive flattening."""
+
+    vertices: np.ndarray  # [V, 3] float32
+    indices: np.ndarray  # [T, 3] int32 vertex indices
+    material: Material
+    normals: Optional[np.ndarray] = None  # [Vn, 3]
+    normal_indices: Optional[np.ndarray] = None  # [T, 3] into normals
+    face_ids: Optional[np.ndarray] = None  # [T] original polygon face id
+    transform: Transform = dataclasses.field(default_factory=Transform)
+
+
+@dataclasses.dataclass
+class ShapeLight:
+    """Wrap any shape as an emitter (RLight.h:250-337). The wrapped shape's
+    material is replaced by the emitter, matching the reference's intersection
+    patching."""
+
+    shape: object  # Sphere | TriangleMesh
+    color: Sequence[float]
+    power: float
+
+
+class Scene:
+    """The ShapeSet equivalent: collects shapes, compiles to SceneData."""
+
+    def __init__(self):
+        self.planes: List[Plane] = []
+        self.spheres: List[Sphere] = []
+        self.rect_lights: List[RectangleLight] = []
+        self.meshes: List[TriangleMesh] = []
+        # lights: list of (kind, index-within-kind, color, power)
+        self._lights: List[tuple] = []
+
+    def add(self, shape) -> None:
+        if isinstance(shape, Plane):
+            self.planes.append(shape)
+        elif isinstance(shape, Sphere):
+            self.spheres.append(shape)
+        elif isinstance(shape, RectangleLight):
+            self.rect_lights.append(shape)
+            self._lights.append(
+                (LIGHT_RECT, len(self.rect_lights) - 1, shape.color, shape.power)
+            )
+        elif isinstance(shape, TriangleMesh):
+            self.meshes.append(shape)
+        elif isinstance(shape, ShapeLight):
+            emitter = EmitterMaterial(shape.color, shape.power)
+            inner = shape.shape
+            inner.material = emitter
+            if isinstance(inner, Sphere):
+                self.spheres.append(inner)
+                self._lights.append(
+                    (LIGHT_SPHERE, len(self.spheres) - 1, shape.color, shape.power)
+                )
+            elif isinstance(inner, TriangleMesh):
+                self.meshes.append(inner)
+                self._lights.append(
+                    (LIGHT_MESH, len(self.meshes) - 1, shape.color, shape.power)
+                )
+            else:
+                raise TypeError(f"ShapeLight cannot wrap {type(inner)}")
+        else:
+            raise TypeError(f"unknown shape type {type(shape)}")
+
+    # ------------------------------------------------------------------
+    def compile(self, max_keys: Optional[int] = None) -> "SceneData":
+        from ..accel.bvh import build_bvh, flatten_mesh_bvhs
+
+        # --- material table (dedup by object identity) ---
+        materials: List[Material] = []
+
+        def mat_id(m: Material) -> int:
+            for i, existing in enumerate(materials):
+                if existing is m:
+                    return i
+            materials.append(m)
+            return len(materials) - 1
+
+        f32 = np.float32
+        i32 = np.int32
+
+        # --- global shape ids: planes, spheres, rects, meshes (in that order)
+        n_p, n_s, n_r, n_m = (
+            len(self.planes),
+            len(self.spheres),
+            len(self.rect_lights),
+            len(self.meshes),
+        )
+        sphere_id0 = n_p
+        rect_id0 = n_p + n_s
+        mesh_id0 = n_p + n_s + n_r
+
+        # --- transforms table: slot 0 is identity; shapes share slot 0 when
+        # their transform is identity.
+        transforms: List[Transform] = [Transform()]
+
+        def xf_id(t: Transform) -> int:
+            if t.is_identity():
+                return 0
+            transforms.append(t)
+            return len(transforms) - 1
+
+        pln_pos = np.array([p.position for p in self.planes], f32).reshape(n_p, 3)
+        pln_normal_raw = np.array([p.normal for p in self.planes], f32).reshape(n_p, 3)
+        pln_normal = pln_normal_raw / np.maximum(
+            np.linalg.norm(pln_normal_raw, axis=-1, keepdims=True), 1e-37
+        )
+        pln_mat = np.array([mat_id(p.material) for p in self.planes], i32)
+        pln_bullseye = np.array([p.bullseye for p in self.planes], bool)
+        pln_xf = np.array([xf_id(p.transform) for p in self.planes], i32)
+
+        sph_center = np.array([s.position for s in self.spheres], f32).reshape(n_s, 3)
+        sph_radius = np.array([s.radius for s in self.spheres], f32)
+        sph_mat = np.array([mat_id(s.material) for s in self.spheres], i32)
+        sph_xf = np.array([xf_id(s.transform) for s in self.spheres], i32)
+
+        rect_corner = np.array([r.corner for r in self.rect_lights], f32).reshape(n_r, 3)
+        rect_s1 = np.array([r.side1 for r in self.rect_lights], f32).reshape(n_r, 3)
+        rect_s2 = np.array([r.side2 for r in self.rect_lights], f32).reshape(n_r, 3)
+        rect_xf = np.array([xf_id(r.transform) for r in self.rect_lights], i32)
+        rect_mats = []
+        rect_emit = []
+        for r in self.rect_lights:
+            em = EmitterMaterial(r.color, r.power)
+            rect_mats.append(mat_id(em))
+            rect_emit.append(np.asarray(r.color, f32) * f32(r.power))
+        rect_mat = np.array(rect_mats, i32)
+
+        # --- meshes: concatenate triangle soup; per-mesh BVH over triangles
+        tri_v0, tri_v1, tri_v2 = [], [], []
+        tri_n0, tri_n1, tri_n2 = [], [], []
+        tri_has_n = []
+        tri_mesh_idx = []
+        tri_face_id = []
+        mesh_mat = []
+        mesh_xf = []
+        mesh_tri_start = []
+        mesh_tri_count = []
+        bvh_list = []
+        t_off = 0
+        for mi, m in enumerate(self.meshes):
+            verts = np.asarray(m.vertices, f32)
+            idx = np.asarray(m.indices, i32)
+            T = idx.shape[0]
+            v0 = verts[idx[:, 0]]
+            v1 = verts[idx[:, 1]]
+            v2 = verts[idx[:, 2]]
+            if m.normals is not None and m.normal_indices is not None:
+                nrm = np.asarray(m.normals, f32)
+                nidx = np.asarray(m.normal_indices, i32)
+                has_n = (nidx >= 0).all(axis=-1)
+                safe = np.maximum(nidx, 0)
+                n0 = nrm[safe[:, 0]]
+                n1 = nrm[safe[:, 1]]
+                n2 = nrm[safe[:, 2]]
+            else:
+                has_n = np.zeros(T, bool)
+                n0 = n1 = n2 = np.zeros((T, 3), f32)
+            # BVH over this mesh's triangles (local/object space)
+            bvh = build_bvh(v0, v1, v2)
+            bvh_list.append(bvh)
+            order = bvh.prim_order
+            tri_v0.append(v0[order])
+            tri_v1.append(v1[order])
+            tri_v2.append(v2[order])
+            tri_n0.append(n0[order])
+            tri_n1.append(n1[order])
+            tri_n2.append(n2[order])
+            tri_has_n.append(has_n[order])
+            tri_mesh_idx.append(np.full(T, mi, i32))
+            fids = (
+                np.asarray(m.face_ids, i32)
+                if m.face_ids is not None
+                else np.arange(T, dtype=i32)
+            )
+            tri_face_id.append(fids[order])
+            mesh_mat.append(mat_id(m.material))
+            mesh_xf.append(xf_id(m.transform))
+            mesh_tri_start.append(t_off)
+            mesh_tri_count.append(T)
+            t_off += T
+
+        def cat(parts, shape_tail, dtype=f32):
+            if parts:
+                return np.concatenate(parts, axis=0).astype(dtype)
+            return np.zeros((0,) + shape_tail, dtype)
+
+        bvh_nodes_min, bvh_nodes_max, bvh_meta, mesh_bvh_root = flatten_mesh_bvhs(
+            bvh_list, mesh_tri_start
+        )
+
+        # --- lights ---
+        light_kind, light_index, light_shape_id, light_color, light_power = (
+            [],
+            [],
+            [],
+            [],
+            [],
+        )
+        for kind, idx, color, power in self._lights:
+            # kind index recorded at add() time indexes within that kind's list
+            if kind == LIGHT_RECT:
+                sid = rect_id0 + idx
+            elif kind == LIGHT_SPHERE:
+                sid = sphere_id0 + idx
+            else:
+                sid = mesh_id0 + idx
+            light_kind.append(kind)
+            light_index.append(idx)
+            light_shape_id.append(sid)
+            light_color.append(np.asarray(color, f32))
+            light_power.append(f32(power))
+
+        n_l = len(light_kind)
+
+        # --- transform table arrays (padded to max key count) ---
+        if max_keys is None:
+            max_keys = max((t.num_keys for t in transforms), default=1)
+        X = len(transforms)
+        xf_times = np.zeros((X, max_keys), f32)
+        xf_trans = np.zeros((X, max_keys, 3), f32)
+        xf_scale = np.ones((X, max_keys, 3), f32)
+        xf_rot = np.zeros((X, max_keys, 4), f32)
+        xf_rot[:, :, 0] = 1.0
+        xf_nkeys = np.zeros(X, i32)
+        for ti, t in enumerate(transforms):
+            k = t.num_keys
+            xf_nkeys[ti] = k
+            xf_times[ti, :k] = np.asarray(t.times, f32)
+            xf_times[ti, k:] = xf_times[ti, k - 1] if k else 0.0
+            xf_trans[ti, :k] = np.asarray(t.translations, f32).reshape(k, 3)
+            xf_trans[ti, k:] = xf_trans[ti, k - 1]
+            xf_scale[ti, :k] = np.asarray(t.scales, f32).reshape(k, 3)
+            xf_scale[ti, k:] = xf_scale[ti, k - 1]
+            rot = np.asarray(t.rotations, f32).reshape(k, 4)
+            # prepare(): normalize rotation keys (RMath.h:800-807)
+            rot = rot / np.maximum(
+                np.linalg.norm(rot, axis=-1, keepdims=True), 1e-37
+            )
+            xf_rot[ti, :k] = rot
+            xf_rot[ti, k:] = xf_rot[ti, k - 1]
+
+        has_motion = any(not t.is_identity() for t in transforms)
+
+        if not materials:
+            # keep the material table non-empty so masked gathers stay in-bounds
+            materials.append(DiffuseMaterial((0.0, 0.0, 0.0)))
+        mat_kind = np.array([m.kind for m in materials], i32)
+        mat_color = np.array([m.color for m in materials], f32).reshape(-1, 3)
+        mat_param = np.array([m.param for m in materials], f32)
+
+        dev = jnp.asarray
+        return SceneData(
+            mat_kind=dev(mat_kind),
+            mat_color=dev(mat_color),
+            mat_param=dev(mat_param),
+            pln_pos=dev(pln_pos),
+            pln_normal=dev(pln_normal),
+            pln_mat=dev(pln_mat),
+            pln_bullseye=dev(pln_bullseye),
+            pln_xf=dev(pln_xf),
+            sph_center=dev(sph_center),
+            sph_radius=dev(sph_radius),
+            sph_mat=dev(sph_mat),
+            sph_xf=dev(sph_xf),
+            rect_corner=dev(rect_corner),
+            rect_side1=dev(rect_s1),
+            rect_side2=dev(rect_s2),
+            rect_mat=dev(rect_mat),
+            rect_xf=dev(rect_xf),
+            tri_v0=dev(cat(tri_v0, (3,))),
+            tri_v1=dev(cat(tri_v1, (3,))),
+            tri_v2=dev(cat(tri_v2, (3,))),
+            tri_n0=dev(cat(tri_n0, (3,))),
+            tri_n1=dev(cat(tri_n1, (3,))),
+            tri_n2=dev(cat(tri_n2, (3,))),
+            tri_has_normals=dev(cat(tri_has_n, (), bool)),
+            tri_mesh=dev(cat(tri_mesh_idx, (), i32)),
+            tri_face_id=dev(cat(tri_face_id, (), i32)),
+            mesh_mat=dev(np.array(mesh_mat, i32)),
+            mesh_xf=dev(np.array(mesh_xf, i32)),
+            mesh_tri_start=dev(np.array(mesh_tri_start, i32)),
+            mesh_tri_count=dev(np.array(mesh_tri_count, i32)),
+            mesh_bvh_root=dev(mesh_bvh_root),
+            bvh_min=dev(bvh_nodes_min),
+            bvh_max=dev(bvh_nodes_max),
+            bvh_meta=dev(bvh_meta),
+            light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
+            light_index=dev(np.array(light_index, i32).reshape(n_l)),
+            light_shape_id=dev(np.array(light_shape_id, i32).reshape(n_l)),
+            light_color=dev(np.array(light_color, f32).reshape(n_l, 3)),
+            light_power=dev(np.array(light_power, f32).reshape(n_l)),
+            xf_times=dev(xf_times),
+            xf_translate=dev(xf_trans),
+            xf_scale=dev(xf_scale),
+            xf_rotate=dev(xf_rot),
+            xf_nkeys=dev(xf_nkeys),
+            has_motion=has_motion,
+            light_kinds_host=tuple(light_kind),
+            light_indices_host=tuple(light_index),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Device-side compiled scene
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Flat, kind-segregated scene arrays — the jit-visible scene."""
+
+    # material table
+    mat_kind: jnp.ndarray
+    mat_color: jnp.ndarray
+    mat_param: jnp.ndarray
+    # planes
+    pln_pos: jnp.ndarray
+    pln_normal: jnp.ndarray
+    pln_mat: jnp.ndarray
+    pln_bullseye: jnp.ndarray
+    pln_xf: jnp.ndarray
+    # spheres
+    sph_center: jnp.ndarray
+    sph_radius: jnp.ndarray
+    sph_mat: jnp.ndarray
+    sph_xf: jnp.ndarray
+    # rectangles (area lights are also geometry)
+    rect_corner: jnp.ndarray
+    rect_side1: jnp.ndarray
+    rect_side2: jnp.ndarray
+    rect_mat: jnp.ndarray
+    rect_xf: jnp.ndarray
+    # triangle soup (all meshes concatenated, BVH-leaf order)
+    tri_v0: jnp.ndarray
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    tri_n0: jnp.ndarray
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_has_normals: jnp.ndarray
+    tri_mesh: jnp.ndarray
+    tri_face_id: jnp.ndarray
+    mesh_mat: jnp.ndarray
+    mesh_xf: jnp.ndarray
+    mesh_tri_start: jnp.ndarray
+    mesh_tri_count: jnp.ndarray
+    mesh_bvh_root: jnp.ndarray
+    # flattened BVH nodes (all meshes): skip-link threaded layout
+    bvh_min: jnp.ndarray
+    bvh_max: jnp.ndarray
+    bvh_meta: jnp.ndarray  # [n, 3] int32: (hit_link, miss_link, prim|-1)
+    # lights
+    light_kind: jnp.ndarray
+    light_index: jnp.ndarray
+    light_shape_id: jnp.ndarray
+    light_color: jnp.ndarray
+    light_power: jnp.ndarray
+    # keyed TRS transforms
+    xf_times: jnp.ndarray
+    xf_translate: jnp.ndarray
+    xf_scale: jnp.ndarray
+    xf_rotate: jnp.ndarray
+    xf_nkeys: jnp.ndarray
+    # static metadata
+    has_motion: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # host-visible light table (needed to specialize per-light code paths at
+    # trace time without device->host transfers)
+    light_kinds_host: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+    light_indices_host: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+
+    # -- static (trace-time) counts --
+    @property
+    def n_planes(self) -> int:
+        return self.pln_mat.shape[0]
+
+    @property
+    def n_spheres(self) -> int:
+        return self.sph_mat.shape[0]
+
+    @property
+    def n_rects(self) -> int:
+        return self.rect_mat.shape[0]
+
+    @property
+    def n_meshes(self) -> int:
+        return self.mesh_mat.shape[0]
+
+    @property
+    def n_tris(self) -> int:
+        return self.tri_mesh.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.light_kind.shape[0]
+
+    @property
+    def sphere_id0(self) -> int:
+        return self.n_planes
+
+    @property
+    def rect_id0(self) -> int:
+        return self.n_planes + self.n_spheres
+
+    @property
+    def mesh_id0(self) -> int:
+        return self.n_planes + self.n_spheres + self.n_rects

@@ -1,0 +1,188 @@
+"""Vectorized BRDFs, dispatched by material kind.
+
+The reference's ``Brdf`` virtual hierarchy (Rayito_Stage7_QT/RMaterial.h:23-433)
+becomes pure array functions evaluated per wavefront lane and blended by
+material-kind masks — every lane computes each of the (four) BRDF kinds'
+cheap arithmetic but only keeps its own; no gather-based dispatch, no
+divergence.
+
+Direction conventions (RMaterial.h:30-59): **incoming points TOWARD the
+surface, outgoing points AWAY**. All functions return SOLID-ANGLE f/pdf
+(the path tracer uses the SA variants exclusively —
+RaytraceMain.cpp:383,413,456). f is a scalar per lane (the reference Brdfs
+are colorless; material color multiplies outside).
+
+Dirac handling (PerfectReflection): evaluate ≡ 0 with pdf 0; sample returns
+f=1 with pdf = |n·i| (SA), and is_dirac masks NEE off (RaytraceMain.cpp:332).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .vecmath import (
+    PI,
+    dot,
+    dot_keep,
+    from_local_frame,
+    make_coordinate_space,
+    normalize,
+)
+from .warps import uniform_to_cosine_hemisphere
+
+KIND_LAMBERT = 0
+KIND_GLOSSY = 1
+KIND_REFLECTION = 2
+KIND_EMITTER = 3
+KIND_PHONG = 4
+
+
+def _same_hemisphere(n_dot_i, n_dot_o):
+    """Reject when incoming and outgoing are on the same side
+    (RMaterial.h:101-108): reflection requires opposite signs."""
+    return ((n_dot_i > 0.0) & (n_dot_o > 0.0)) | ((n_dot_i < 0.0) & (n_dot_o < 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Lambert (RMaterial.h:91-205)
+# ---------------------------------------------------------------------------
+
+
+def lambert_evaluate_sa(incoming, outgoing, normal):
+    n_dot_i = dot(incoming, normal)
+    n_dot_o = dot(outgoing, normal)
+    reject = _same_hemisphere(n_dot_i, n_dot_o)
+    f = jnp.where(reject, 0.0, 1.0 / PI)
+    pdf = jnp.where(reject, 0.0, jnp.abs(n_dot_i) / PI)
+    return f, pdf
+
+
+def lambert_sample_sa(outgoing, normal, u1, u2):
+    local_incoming = -uniform_to_cosine_hemisphere(u1, u2)
+    x, y, z = make_coordinate_space(normal)
+    incoming = from_local_frame(local_incoming, x, y, z)
+    flip = dot(outgoing, normal) < 0.0
+    incoming = jnp.where(flip[..., None], -incoming, incoming)
+    pdf = jnp.abs(dot(-incoming, normal)) / PI
+    f = jnp.full_like(pdf, 1.0 / PI)
+    return incoming, f, pdf
+
+
+# ---------------------------------------------------------------------------
+# Glossy — isotropic Ashikhmin-Shirley with the D-BRDF denominator
+# (RMaterial.h:208-372). exponent = 1/roughness^2.
+# ---------------------------------------------------------------------------
+
+
+def _glossy_half(incoming, outgoing, normal):
+    """Half-vector with the near-parallel guard (RMaterial.h:241-245)."""
+    near = dot(outgoing, incoming) > 0.999
+    h = normalize(outgoing - incoming)
+    return jnp.where(near[..., None], normal, h)
+
+
+def glossy_evaluate_sa(incoming, outgoing, normal, exponent):
+    n_dot_i = dot(incoming, normal)
+    n_dot_o = dot(outgoing, normal)
+    reject = _same_hemisphere(n_dot_i, n_dot_o)
+    half = _glossy_half(incoming, outgoing, normal)
+    n_dot_h = jnp.abs(dot(normal, half))
+    d = (exponent + 1.0) * jnp.power(jnp.maximum(n_dot_h, 0.0), exponent) / (2.0 * PI)
+    # D-BRDF denominator: 4*|nDotO + -nDotI - nDotO * -nDotI|
+    denom = 4.0 * jnp.abs(n_dot_o + (-n_dot_i) - n_dot_o * (-n_dot_i))
+    f = d / jnp.maximum(denom, 1e-37)
+    o_dot_h = jnp.abs(dot(outgoing, half))
+    pdf = d / jnp.maximum(4.0 * o_dot_h, 1e-37)
+    f = jnp.where(reject, 0.0, f)
+    pdf = jnp.where(reject, 0.0, pdf)
+    return f, pdf
+
+
+def glossy_sample_sa(outgoing, normal, u1, u2, exponent):
+    phi = 2.0 * PI * u1
+    cos_theta = jnp.power(jnp.maximum(1.0 - u2, 0.0), 1.0 / (exponent + 1.0))
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    local_half = jnp.stack(
+        [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
+    )
+    x, y, z = make_coordinate_space(normal)
+    half = from_local_frame(local_half, x, y, z)
+    flip = dot(outgoing, normal) < 0.0
+    half = jnp.where(flip[..., None], -half, half)
+    incoming = outgoing - half * (2.0 * dot_keep(outgoing, half))
+    f, pdf = glossy_evaluate_sa(incoming, outgoing, normal, exponent)
+    return incoming, f, pdf
+
+
+# ---------------------------------------------------------------------------
+# PerfectReflection (RMaterial.h:376-433) — Dirac mirror
+# ---------------------------------------------------------------------------
+
+
+def reflection_sample_sa(outgoing, normal):
+    n_dot_o = dot_keep(normal, outgoing)
+    incoming = jnp.where(
+        n_dot_o < 0.0,
+        outgoing + 2.0 * normal * n_dot_o,
+        outgoing - 2.0 * normal * n_dot_o,
+    )
+    pdf = jnp.abs(dot(-incoming, normal))
+    f = jnp.ones_like(pdf)
+    return incoming, f, pdf
+
+
+# ---------------------------------------------------------------------------
+# Phong — the stage-3/4 direct-shading model (Rayito_Stage3/rayito.h:455-480):
+# shade = max(0, h·n)^exp with half-vector of (-inDir, lightDir). Used only by
+# the stage-3/4 direct renderer, not the path tracer.
+# ---------------------------------------------------------------------------
+
+
+def phong_shade(normal, in_direction, light_direction, exponent):
+    half = normalize(light_direction - in_direction)
+    return jnp.power(jnp.maximum(0.0, dot(half, normal)), exponent)
+
+
+def lambert_shade(normal, light_direction):
+    return jnp.maximum(0.0, dot(light_direction, normal))
+
+
+# ---------------------------------------------------------------------------
+# Kind-dispatched wavefront API
+# ---------------------------------------------------------------------------
+
+
+def is_dirac(kind):
+    return kind == KIND_REFLECTION
+
+
+def evaluate_sa(kind, exponent, incoming, outgoing, normal):
+    """Mask-blended BRDF evaluation for a wavefront with mixed materials.
+    Emitters and Dirac mirrors evaluate to (0, 0)."""
+    f_l, pdf_l = lambert_evaluate_sa(incoming, outgoing, normal)
+    f_g, pdf_g = glossy_evaluate_sa(incoming, outgoing, normal, exponent)
+    f = jnp.where(kind == KIND_LAMBERT, f_l, jnp.where(kind == KIND_GLOSSY, f_g, 0.0))
+    pdf = jnp.where(
+        kind == KIND_LAMBERT, pdf_l, jnp.where(kind == KIND_GLOSSY, pdf_g, 0.0)
+    )
+    return f, pdf
+
+
+def sample_sa(kind, exponent, outgoing, normal, u1, u2):
+    """Mask-blended BRDF sampling. Returns (incoming, f, pdf)."""
+    i_l, f_l, pdf_l = lambert_sample_sa(outgoing, normal, u1, u2)
+    i_g, f_g, pdf_g = glossy_sample_sa(outgoing, normal, u1, u2, exponent)
+    i_r, f_r, pdf_r = reflection_sample_sa(outgoing, normal)
+    is_g = kind == KIND_GLOSSY
+    is_r = kind == KIND_REFLECTION
+    incoming = jnp.where(
+        is_r[..., None], i_r, jnp.where(is_g[..., None], i_g, i_l)
+    )
+    f = jnp.where(is_r, f_r, jnp.where(is_g, f_g, f_l))
+    pdf = jnp.where(is_r, pdf_r, jnp.where(is_g, pdf_g, pdf_l))
+    # emitters have no BRDF (Material::evaluate returns NULL brdf,
+    # RMaterial.h:530-555) — force pdf 0 so the path terminates
+    none = kind == KIND_EMITTER
+    f = jnp.where(none, 0.0, f)
+    pdf = jnp.where(none, 0.0, pdf)
+    return incoming, f, pdf
