@@ -20,12 +20,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _U32 = jnp.uint32
 
 # float = u32 * 2.328306e-10f — the reference's canonical-float constant
 # (RSampling.h:46). NOTE: this is slightly less than 1/2^32; values are [0, 1).
-_CANONICAL = jnp.float32(2.328306e-10)
+# (Kept as a Python float so importing this module doesn't init a jax backend.)
+_CANONICAL = float(np.float32(2.328306e-10))
 
 
 def u32(x) -> jnp.ndarray:

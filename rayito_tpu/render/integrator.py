@@ -179,16 +179,19 @@ def _render_direct_pass(scene: SceneData, config: RenderConfig, fov, camera,
     for li in range(scene.n_lights):
         emitted = scene.light_color[li] * scene.light_power[li]
         light_sid = scene.light_shape_id[li]
-        acc = jnp.zeros((n, 3), jnp.float32)
-        for ls in range(ls_total):
-            perm = rngo.hash_combine(
-                px.astype(jnp.uint32),
-                py.astype(jnp.uint32),
-                si.astype(jnp.uint32),
-                rngo.PURPOSE_LIGHT,
-                np.uint32(li),
-                np.uint32(config.seed),
-            )
+        perm = rngo.hash_combine(
+            px.astype(jnp.uint32),
+            py.astype(jnp.uint32),
+            si.astype(jnp.uint32),
+            rngo.PURPOSE_LIGHT,
+            np.uint32(li),
+            np.uint32(config.seed),
+        )
+
+        # Rolled loop over the stratified light samples: ONE compiled body
+        # regardless of light_samples² (compile time matters — the reference
+        # just loops, RaytraceMain.cpp:339).
+        def light_body(ls, acc, perm=perm, emitted=emitted, light_sid=light_sid):
             u1, u2 = rngo.cmj_sample_2d(
                 jnp.full(n, ls, jnp.uint32),
                 config.light_samples,
@@ -204,10 +207,24 @@ def _render_direct_pass(scene: SceneData, config: RenderConfig, fov, camera,
             shadow = scene_intersect(
                 scene, position, to_light, t0, config.ray_tmin, dist
             )
-            visible = (~shadow.valid) | (shadow.shape_id == light_sid)
+            # Quirk parity: the reference accepts occlusion *by the light
+            # itself* via `m_pShape == pLightShape`
+            # (Rayito_Stage3/main.cpp:140) — but for ShapeLights the inner
+            # shape's pointer is recorded, NOT the wrapper (ShapeLight::
+            # intersect patches only the material, Rayito_Stage3/rayito.h:
+            # 710-719), so a ShapeLight's own geometry DOES occlude its
+            # samples. Only rect lights pass the identity check.
+            if scene.light_kinds_host[li] == LIGHT_RECT:
+                visible = (~shadow.valid) | (shadow.shape_id == light_sid)
+            else:
+                visible = ~shadow.valid
             shade = _material_shade(scene, hit.mat, hit.normal, d, to_light)
             contrib = emitted[None, :] * hit.color_mod[:, None] * shade
-            acc = acc + jnp.where((visible & hit.valid)[:, None], contrib, 0.0)
+            return acc + jnp.where((visible & hit.valid)[:, None], contrib, 0.0)
+
+        acc = jax.lax.fori_loop(
+            0, ls_total, light_body, jnp.zeros((n, 3), jnp.float32)
+        )
         result = result + acc / jnp.float32(ls_total)
 
     result = jnp.where(hit.valid[:, None], result, 0.0)

@@ -101,6 +101,19 @@ def _argmin_t(t_ns):
     return t, idx
 
 
+def _gather_winner_ray(o_l, d_l, idx, o, d, trs):
+    """Local-space ray of the winning shape per lane.
+
+    When the scene is static, o_l/d_l are broadcast views with a size-1 shape
+    axis — gathering them by shape index would be out-of-bounds (jnp fills
+    OOB gathers with NaN); the world ray IS the local ray, so return it."""
+    if trs is None:
+        return o, d
+    o_w = jnp.take_along_axis(o_l, idx[:, None, None], axis=1)[:, 0]
+    d_w = jnp.take_along_axis(d_l, idx[:, None, None], axis=1)[:, 0]
+    return o_w, d_w
+
+
 # ---------------------------------------------------------------------------
 # Per-kind candidate intersections
 # ---------------------------------------------------------------------------
@@ -115,9 +128,9 @@ def _planes_candidate(scene: SceneData, o, d, time, tmin, tmax):
     valid = jnp.isfinite(t)
     # bullseye modifier uses the LOCAL-space hit position (the reference
     # intersects the plane in local space, RScene.h:306-328)
-    o_w = jnp.take_along_axis(o_l, idx[:, None, None], axis=1)[:, 0]
-    d_w = jnp.take_along_axis(d_l, idx[:, None, None], axis=1)[:, 0]
-    hit_pos = o_w + d_w * t[:, None]
+    o_w, d_w = _gather_winner_ray(o_l, d_l, idx, o, d, trs)
+    t_safe = jnp.where(valid, t, 0.0)  # keep inf out of the bullseye math
+    hit_pos = o_w + d_w * t_safe[:, None]
     pln_pos_w = scene.pln_pos[idx]
     dist = jnp.sqrt(jnp.sum((hit_pos - pln_pos_w) ** 2, axis=-1))
     ring = jnp.mod(dist * 0.25, 1.0) > 0.5
@@ -144,9 +157,9 @@ def _spheres_candidate(scene: SceneData, o, d, time, tmin, tmax):
         scene.sph_radius[None],
     )
     t, idx = _argmin_t(t_ns)
-    o_w = jnp.take_along_axis(o_l, idx[:, None, None], axis=1)[:, 0]
-    d_w = jnp.take_along_axis(d_l, idx[:, None, None], axis=1)[:, 0]
-    p_local = o_w + d_w * t[:, None]
+    o_w, d_w = _gather_winner_ray(o_l, d_l, idx, o, d, trs)
+    t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
+    p_local = o_w + d_w * t_safe[:, None]
     n_local = normalize(p_local - scene.sph_center[idx])
     normal = _normal_from_local(trs, n_local, idx)
     return (
