@@ -1,0 +1,73 @@
+"""Benchmark: Mrays/sec/chip on the stage-6 bumpy.obj BVH scene.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is measured Mrays/s divided by the 50 Mrays/s/chip target
+(BASELINE.json north_star).
+
+Ray accounting: every scene-intersection query issued by the wavefront —
+primary/continuation traces, NEE shadow occlusions, and NEE BRDF-side
+traces — over all wavefront lanes. Per pixel sample with depth D and L
+light samples that is D * (1 + 2L) queries (lanes are dense masked compute:
+dead lanes still occupy hardware, so they count for throughput purposes).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from rayito_tpu.models.camera import PerspectiveCamera
+from rayito_tpu.models.demo import STAGE6_CAMERA, stage6_scene
+from rayito_tpu.render.pathtracer import _render_path_pass
+from rayito_tpu.utils.config import RenderConfig
+
+TARGET_MRAYS = 50.0
+
+
+def main():
+    width, height = 512, 512
+    cfg = RenderConfig(
+        width=width,
+        height=height,
+        pixel_samples=2,  # 4 spp per pass chunk below
+        light_samples=1,
+        max_depth=3,
+        aspect_correction=True,
+    )
+    scene = stage6_scene().compile()
+    cam = PerspectiveCamera.make(
+        30.0, *STAGE6_CAMERA, focal_distance=16.0, lens_radius=0.0
+    )
+
+    si = jnp.arange(1, dtype=jnp.int32)  # one sample-chunk per launch (256k lanes)
+    # warmup / compile
+    img = _render_path_pass(scene, cfg, cam, si)
+    img.block_until_ready()
+
+    frames = 3
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        img = _render_path_pass(scene, cfg, cam, si)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / frames
+
+    lanes = width * height * int(si.shape[0])
+    nls = cfg.light_samples**2
+    queries_per_lane = cfg.max_depth * (1 + 2 * nls)
+    mrays = lanes * queries_per_lane / dt / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "stage6_bumpy_bvh_path_trace",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

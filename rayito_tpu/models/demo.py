@@ -116,6 +116,93 @@ def stage5_scene() -> Scene:
 STAGE5_CAMERA = ((0.0, 5.0, 15.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
 
 
+def inline_box_mesh(material):
+    """The hand-built 8-vertex open box of the stage-6/7 scenes
+    (Rayito_Stage6_QT/MainWindow.cpp:77-120): 6 quad faces (one duplicated),
+    no normals."""
+    import numpy as np
+
+    from .scene import TriangleMesh
+
+    verts = np.array(
+        [
+            [0.0, -2.0, -2.0],
+            [1.0, -2.0, -2.0],
+            [1.0, -1.0, -2.0],
+            [0.0, -1.0, -2.0],
+            [0.0, -2.0, -1.0],
+            [1.0, -2.0, -1.0],
+            [1.0, -1.0, -1.0],
+            [0.0, -1.0, -1.0],
+        ],
+        np.float32,
+    )
+    quads = [
+        (0, 1, 2, 3),
+        (1, 5, 6, 2),
+        (5, 4, 7, 6),
+        (4, 0, 3, 7),
+        (3, 2, 6, 7),
+        (3, 2, 6, 7),  # duplicated face, as in the reference
+    ]
+    tris, fids = [], []
+    for fid, (a, b, c, d) in enumerate(quads):
+        tris.append((a, b, c))
+        tris.append((a, c, d))
+        fids += [fid, fid]
+    return TriangleMesh(
+        vertices=verts,
+        indices=np.array(tris, np.int32),
+        material=material,
+        face_ids=np.array(fids, np.int32),
+    )
+
+
+def stage6_scene(obj_path: str = "/root/reference/models/bumpy.obj") -> Scene:
+    """Stage-6 GUI demo scene: stage-5 spheres + inline box mesh + bumpy.obj
+    (glossy red), light sphere moved to (1, 0.5, 2)
+    (Rayito_Stage6_QT/MainWindow.cpp:37-145)."""
+    from .obj import load_obj
+
+    s = Scene()
+    blueish = DiffuseMaterial((0.7, 0.7, 0.9))
+    purplish = DiffuseMaterial((0.8, 0.3, 0.7))
+    yellowish = DiffuseMaterial((0.7, 0.7, 0.2))
+    bluish_glossy = GlossyMaterial((0.5, 0.3, 0.8), 0.3)
+    greenish_glossy = GlossyMaterial((0.3, 0.9, 0.3), 0.1)
+    reddish_lambert = DiffuseMaterial((0.8, 0.3, 0.1))
+    reddish_glossy = GlossyMaterial((0.8, 0.1, 0.1), 0.3)
+    s.add(Plane((0.0, -2.0, 0.0), (0.0, 1.0, 0.0), blueish, bullseye=True))
+    s.add(Sphere((3.0, -1.0, 0.0), 1.0, purplish))
+    s.add(Sphere((-3.0, 0.0, -2.0), 2.0, greenish_glossy))
+    s.add(Sphere((1.5, -1.5, 2.5), 0.5, bluish_glossy))
+    s.add(Sphere((-2.0, -1.5, 1.0), 0.5, yellowish))
+    s.add(inline_box_mesh(reddish_lambert))
+    obj = load_obj(obj_path, reddish_glossy)
+    if obj is not None:
+        s.add(obj)
+    s.add(
+        RectangleLight(
+            corner=(-1.5, 4.0, -1.5),
+            side1=(3.0, 0.0, 0.0),
+            side2=(0.0, 0.0, 3.0),
+            color=(1.0, 1.0, 1.0),
+            power=5.0,
+        )
+    )
+    s.add(
+        ShapeLight(
+            Sphere((1.0, 0.5, 2.0), 0.5, blueish),
+            color=(1.0, 1.0, 0.3),
+            power=10.0,
+        )
+    )
+    return s
+
+
+STAGE6_CAMERA = ((-2.0, 5.0, 15.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+
+
 def stage3_scene() -> Scene:
     """Bullseye plane, lambert+phong spheres, rect light, sphere ShapeLight
     (Rayito_Stage3/main.cpp:164-201). Stage 4's scene is identical

@@ -201,6 +201,7 @@ class Scene:
     # ------------------------------------------------------------------
     def compile(self, max_keys: Optional[int] = None) -> "SceneData":
         from ..accel.bvh import build_bvh, flatten_mesh_bvhs
+        from ..accel.clusters import build_clusters
 
         # --- material table (dedup by object identity) ---
         materials: List[Material] = []
@@ -273,6 +274,7 @@ class Scene:
         mesh_tri_start = []
         mesh_tri_count = []
         bvh_list = []
+        cluster_list = []
         t_off = 0
         for mi, m in enumerate(self.meshes):
             verts = np.asarray(m.vertices, f32)
@@ -292,29 +294,41 @@ class Scene:
             else:
                 has_n = np.zeros(T, bool)
                 n0 = n1 = n2 = np.zeros((T, 3), f32)
-            # BVH over this mesh's triangles (local/object space)
+            # BVH over this mesh's triangles (local/object space); its DFS
+            # order also feeds the cluster cut (spatially coherent runs)
             bvh = build_bvh(v0, v1, v2)
             bvh_list.append(bvh)
             order = bvh.prim_order
-            tri_v0.append(v0[order])
-            tri_v1.append(v1[order])
-            tri_v2.append(v2[order])
-            tri_n0.append(n0[order])
-            tri_n1.append(n1[order])
-            tri_n2.append(n2[order])
-            tri_has_n.append(has_n[order])
-            tri_mesh_idx.append(np.full(T, mi, i32))
+            clusters = build_clusters(v0[order], v1[order], v2[order])
+            cluster_list.append(clusters)
+            tp = clusters.v0.shape[0]  # padded triangle count
+            pad = tp - T
+
+            def padz(a, fill=0.0):
+                if pad:
+                    tail = np.full((pad,) + a.shape[1:], fill, a.dtype)
+                    return np.concatenate([a, tail], 0)
+                return a
+
+            tri_v0.append(clusters.v0)
+            tri_v1.append(clusters.v1)
+            tri_v2.append(clusters.v2)
+            tri_n0.append(padz(n0[order]))
+            tri_n1.append(padz(n1[order]))
+            tri_n2.append(padz(n2[order]))
+            tri_has_n.append(padz(has_n[order], False))
+            tri_mesh_idx.append(np.full(tp, mi, i32))
             fids = (
                 np.asarray(m.face_ids, i32)
                 if m.face_ids is not None
                 else np.arange(T, dtype=i32)
             )
-            tri_face_id.append(fids[order])
+            tri_face_id.append(padz(fids[order], -1))
             mesh_mat.append(mat_id(m.material))
             mesh_xf.append(xf_id(m.transform))
             mesh_tri_start.append(t_off)
             mesh_tri_count.append(T)
-            t_off += T
+            t_off += tp
 
         def cat(parts, shape_tail, dtype=f32):
             if parts:
@@ -324,6 +338,48 @@ class Scene:
         bvh_nodes_min, bvh_nodes_max, bvh_meta, mesh_bvh_root = flatten_mesh_bvhs(
             bvh_list, mesh_tri_start
         )
+
+        # --- flatten cluster tables (device hot-path structure) ---
+        cl_min_parts, cl_max_parts, sc_min_parts, sc_max_parts = [], [], [], []
+        sc_row_parts, tri_row_parts = [], []
+        mesh_cl_ranges, mesh_sc_ranges, mesh_tri_ranges = [], [], []
+        cl_off = sc_off = 0
+        for cl, tstart, tcount in zip(cluster_list, mesh_tri_start, mesh_tri_count):
+            cl_min_parts.append(cl.cl_min)
+            cl_max_parts.append(cl.cl_max)
+            sc_min_parts.append(cl.sc_min)
+            sc_max_parts.append(cl.sc_max)
+            sc_row_parts.append(cl.sc_rows)
+            tri_row_parts.append(cl.tri_rows)
+            mesh_cl_ranges.append((cl_off, cl.n_clusters))
+            mesh_sc_ranges.append((sc_off, cl.n_supers))
+            mesh_tri_ranges.append((tstart, tcount))
+            cl_off += cl.n_clusters
+            sc_off += cl.n_supers
+
+        # per-triangle packed meta rows [T, 16]: shading normals (9),
+        # has_normals, face_id, mesh_id — fetched per winning lane with one
+        # fast row gather (ids as f32: exact up to 2^24)
+        if t_off:
+            n0a = np.concatenate(tri_n0, 0)
+            n1a = np.concatenate(tri_n1, 0)
+            n2a = np.concatenate(tri_n2, 0)
+            tri_meta = np.zeros((t_off, 16), f32)
+            tri_meta[:, 0:3] = n0a
+            tri_meta[:, 3:6] = n1a
+            tri_meta[:, 6:9] = n2a
+            tri_meta[:, 9] = np.concatenate(tri_has_n, 0).astype(f32)
+            tri_meta[:, 10] = np.concatenate(tri_face_id, 0).astype(f32)
+            tri_meta[:, 11] = np.concatenate(tri_mesh_idx, 0).astype(f32)
+            # cols 12:15 — unit geometric normal (flat-shading fallback)
+            av0 = np.concatenate(tri_v0, 0)
+            av1 = np.concatenate(tri_v1, 0)
+            av2 = np.concatenate(tri_v2, 0)
+            gn = np.cross(av1 - av0, av2 - av0)
+            gl = np.linalg.norm(gn, axis=-1, keepdims=True)
+            tri_meta[:, 12:15] = gn / np.maximum(gl, 1e-37)
+        else:
+            tri_meta = np.zeros((0, 16), f32)
 
         # --- lights ---
         light_kind, light_index, light_shape_id, light_color, light_power = (
@@ -384,6 +440,12 @@ class Scene:
         mat_kind = np.array([m.kind for m in materials], i32)
         mat_color = np.array([m.color for m in materials], f32).reshape(-1, 3)
         mat_param = np.array([m.param for m in materials], f32)
+        # packed material rows [M, 8]: kind, r, g, b, param (one row gather
+        # per lane instead of five 1-D gathers)
+        mat_rows = np.zeros((len(materials), 8), f32)
+        mat_rows[:, 0] = mat_kind
+        mat_rows[:, 1:4] = mat_color
+        mat_rows[:, 4] = mat_param
 
         dev = jnp.asarray
         return SceneData(
@@ -421,6 +483,17 @@ class Scene:
             bvh_min=dev(bvh_nodes_min),
             bvh_max=dev(bvh_nodes_max),
             bvh_meta=dev(bvh_meta),
+            cl_min=dev(cat(cl_min_parts, (3,))),
+            cl_max=dev(cat(cl_max_parts, (3,))),
+            sc_min=dev(cat(sc_min_parts, (3,))),
+            sc_max=dev(cat(sc_max_parts, (3,))),
+            sc_rows=dev(cat(sc_row_parts, (128,))),
+            tri_rows=dev(cat(tri_row_parts, (512,))),
+            tri_meta_rows=dev(tri_meta),
+            mat_rows=dev(mat_rows),
+            mesh_cl_ranges=tuple(mesh_cl_ranges),
+            mesh_sc_ranges=tuple(mesh_sc_ranges),
+            mesh_tri_ranges=tuple(mesh_tri_ranges),
             light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
             light_index=dev(np.array(light_index, i32).reshape(n_l)),
             light_shape_id=dev(np.array(light_shape_id, i32).reshape(n_l)),
@@ -484,9 +557,20 @@ class SceneData:
     mesh_tri_count: jnp.ndarray
     mesh_bvh_root: jnp.ndarray
     # flattened BVH nodes (all meshes): skip-link threaded layout
+    # (reference/debug path; the production path is the cluster tables)
     bvh_min: jnp.ndarray
     bvh_max: jnp.ndarray
     bvh_meta: jnp.ndarray  # [n, 3] int32: (hit_link, miss_link, prim|-1)
+    # cluster tables (device hot path, accel/clusters.py)
+    cl_min: jnp.ndarray  # [C, 3]
+    cl_max: jnp.ndarray
+    sc_min: jnp.ndarray  # [S, 3]
+    sc_max: jnp.ndarray
+    # packed ROW tables for fast TPU gathers (accel/clusters.py docstring)
+    sc_rows: jnp.ndarray  # [S, 128]
+    tri_rows: jnp.ndarray  # [C, 512]
+    tri_meta_rows: jnp.ndarray  # [T, 16]
+    mat_rows: jnp.ndarray  # [M, 8]
     # lights
     light_kind: jnp.ndarray
     light_index: jnp.ndarray
@@ -509,6 +593,11 @@ class SceneData:
     light_indices_host: tuple = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # static per-mesh (start, count) ranges into the cluster/supercluster/
+    # triangle tables — host ints so device code can slice statically
+    mesh_cl_ranges: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    mesh_sc_ranges: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    mesh_tri_ranges: tuple = dataclasses.field(metadata=dict(static=True), default=())
 
     # -- static (trace-time) counts --
     @property

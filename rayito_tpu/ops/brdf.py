@@ -1,10 +1,9 @@
-"""Vectorized BRDFs, dispatched by material kind.
+"""Vectorized BRDFs, dispatched by material kind (component-SoA).
 
 The reference's ``Brdf`` virtual hierarchy (Rayito_Stage7_QT/RMaterial.h:23-433)
-becomes pure array functions evaluated per wavefront lane and blended by
-material-kind masks — every lane computes each of the (four) BRDF kinds'
-cheap arithmetic but only keeps its own; no gather-based dispatch, no
-divergence.
+becomes pure array functions over V3 wavefronts blended by material-kind
+masks — every lane computes each BRDF kind's cheap arithmetic but only keeps
+its own; no gather-based dispatch, no divergence, no [..., 3] lane padding.
 
 Direction conventions (RMaterial.h:30-59): **incoming points TOWARD the
 surface, outgoing points AWAY**. All functions return SOLID-ANGLE f/pdf
@@ -20,14 +19,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .vecmath import (
-    PI,
+from .vec3 import (
+    V3,
     dot,
-    dot_keep,
     from_local_frame,
     make_coordinate_space,
     normalize,
+    where as vwhere,
 )
+from .vecmath import PI
 from .warps import uniform_to_cosine_hemisphere
 
 KIND_LAMBERT = 0
@@ -48,7 +48,7 @@ def _same_hemisphere(n_dot_i, n_dot_o):
 # ---------------------------------------------------------------------------
 
 
-def lambert_evaluate_sa(incoming, outgoing, normal):
+def lambert_evaluate_sa(incoming: V3, outgoing: V3, normal: V3):
     n_dot_i = dot(incoming, normal)
     n_dot_o = dot(outgoing, normal)
     reject = _same_hemisphere(n_dot_i, n_dot_o)
@@ -57,12 +57,12 @@ def lambert_evaluate_sa(incoming, outgoing, normal):
     return f, pdf
 
 
-def lambert_sample_sa(outgoing, normal, u1, u2):
+def lambert_sample_sa(outgoing: V3, normal: V3, u1, u2):
     local_incoming = -uniform_to_cosine_hemisphere(u1, u2)
     x, y, z = make_coordinate_space(normal)
     incoming = from_local_frame(local_incoming, x, y, z)
     flip = dot(outgoing, normal) < 0.0
-    incoming = jnp.where(flip[..., None], -incoming, incoming)
+    incoming = vwhere(flip, -incoming, incoming)
     pdf = jnp.abs(dot(-incoming, normal)) / PI
     f = jnp.full_like(pdf, 1.0 / PI)
     return incoming, f, pdf
@@ -74,14 +74,14 @@ def lambert_sample_sa(outgoing, normal, u1, u2):
 # ---------------------------------------------------------------------------
 
 
-def _glossy_half(incoming, outgoing, normal):
+def _glossy_half(incoming: V3, outgoing: V3, normal: V3) -> V3:
     """Half-vector with the near-parallel guard (RMaterial.h:241-245)."""
     near = dot(outgoing, incoming) > 0.999
     h = normalize(outgoing - incoming)
-    return jnp.where(near[..., None], normal, h)
+    return vwhere(near, normal, h)
 
 
-def glossy_evaluate_sa(incoming, outgoing, normal, exponent):
+def glossy_evaluate_sa(incoming: V3, outgoing: V3, normal: V3, exponent):
     n_dot_i = dot(incoming, normal)
     n_dot_o = dot(outgoing, normal)
     reject = _same_hemisphere(n_dot_i, n_dot_o)
@@ -98,18 +98,16 @@ def glossy_evaluate_sa(incoming, outgoing, normal, exponent):
     return f, pdf
 
 
-def glossy_sample_sa(outgoing, normal, u1, u2, exponent):
+def glossy_sample_sa(outgoing: V3, normal: V3, u1, u2, exponent):
     phi = 2.0 * PI * u1
     cos_theta = jnp.power(jnp.maximum(1.0 - u2, 0.0), 1.0 / (exponent + 1.0))
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
-    local_half = jnp.stack(
-        [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
-    )
+    local_half = V3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
     x, y, z = make_coordinate_space(normal)
     half = from_local_frame(local_half, x, y, z)
     flip = dot(outgoing, normal) < 0.0
-    half = jnp.where(flip[..., None], -half, half)
-    incoming = outgoing - half * (2.0 * dot_keep(outgoing, half))
+    half = vwhere(flip, -half, half)
+    incoming = outgoing - half * (2.0 * dot(outgoing, half))
     f, pdf = glossy_evaluate_sa(incoming, outgoing, normal, exponent)
     return incoming, f, pdf
 
@@ -119,31 +117,26 @@ def glossy_sample_sa(outgoing, normal, u1, u2, exponent):
 # ---------------------------------------------------------------------------
 
 
-def reflection_sample_sa(outgoing, normal):
-    n_dot_o = dot_keep(normal, outgoing)
-    incoming = jnp.where(
-        n_dot_o < 0.0,
-        outgoing + 2.0 * normal * n_dot_o,
-        outgoing - 2.0 * normal * n_dot_o,
-    )
+def reflection_sample_sa(outgoing: V3, normal: V3):
+    n_dot_o = dot(normal, outgoing)
+    sgn = jnp.where(n_dot_o < 0.0, 1.0, -1.0)
+    incoming = outgoing + normal * (2.0 * n_dot_o * sgn)
     pdf = jnp.abs(dot(-incoming, normal))
     f = jnp.ones_like(pdf)
     return incoming, f, pdf
 
 
 # ---------------------------------------------------------------------------
-# Phong — the stage-3/4 direct-shading model (Rayito_Stage3/rayito.h:455-480):
-# shade = max(0, h·n)^exp with half-vector of (-inDir, lightDir). Used only by
-# the stage-3/4 direct renderer, not the path tracer.
+# Phong — the stage-3/4 direct-shading model (Rayito_Stage3/rayito.h:455-480)
 # ---------------------------------------------------------------------------
 
 
-def phong_shade(normal, in_direction, light_direction, exponent):
+def phong_shade(normal: V3, in_direction: V3, light_direction: V3, exponent):
     half = normalize(light_direction - in_direction)
     return jnp.power(jnp.maximum(0.0, dot(half, normal)), exponent)
 
 
-def lambert_shade(normal, light_direction):
+def lambert_shade(normal: V3, light_direction: V3):
     return jnp.maximum(0.0, dot(light_direction, normal))
 
 
@@ -156,7 +149,7 @@ def is_dirac(kind):
     return kind == KIND_REFLECTION
 
 
-def evaluate_sa(kind, exponent, incoming, outgoing, normal):
+def evaluate_sa(kind, exponent, incoming: V3, outgoing: V3, normal: V3):
     """Mask-blended BRDF evaluation for a wavefront with mixed materials.
     Emitters and Dirac mirrors evaluate to (0, 0)."""
     f_l, pdf_l = lambert_evaluate_sa(incoming, outgoing, normal)
@@ -168,16 +161,14 @@ def evaluate_sa(kind, exponent, incoming, outgoing, normal):
     return f, pdf
 
 
-def sample_sa(kind, exponent, outgoing, normal, u1, u2):
-    """Mask-blended BRDF sampling. Returns (incoming, f, pdf)."""
+def sample_sa(kind, exponent, outgoing: V3, normal: V3, u1, u2):
+    """Mask-blended BRDF sampling. Returns (incoming V3, f, pdf)."""
     i_l, f_l, pdf_l = lambert_sample_sa(outgoing, normal, u1, u2)
     i_g, f_g, pdf_g = glossy_sample_sa(outgoing, normal, u1, u2, exponent)
     i_r, f_r, pdf_r = reflection_sample_sa(outgoing, normal)
     is_g = kind == KIND_GLOSSY
     is_r = kind == KIND_REFLECTION
-    incoming = jnp.where(
-        is_r[..., None], i_r, jnp.where(is_g[..., None], i_g, i_l)
-    )
+    incoming = vwhere(is_r, i_r, vwhere(is_g, i_g, i_l))
     f = jnp.where(is_r, f_r, jnp.where(is_g, f_g, f_l))
     pdf = jnp.where(is_r, pdf_r, jnp.where(is_g, pdf_g, pdf_l))
     # emitters have no BRDF (Material::evaluate returns NULL brdf,

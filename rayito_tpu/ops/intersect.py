@@ -1,29 +1,30 @@
-"""Batched primitive intersectors.
+"""Batched primitive intersectors (component-SoA).
 
 The reference dispatches ``Shape::intersect`` virtually per shape per ray
 (Rayito_Stage7_QT/RScene.h). Here every intersector is a pure, branchless
-function over SoA batches: rays broadcast against primitive arrays, producing
-dense [rays, prims] (or pre-broadcast) t/hit arrays that map directly onto the
-TPU's VPU. Misses are encoded as t = +inf; callers min-reduce.
+function over SoA batches: V3 rays (three [N]-component arrays) against V3
+primitive data, producing [..., ] t/hit arrays that map directly onto the
+TPU's VPU with zero lane padding (see ops/vec3.py for why [..., 3] arrays
+are forbidden on the hot path).
 
 All functions use a (tmin, tcur) validity interval where ``tcur`` is the
-current-closest t (matching the reference's ``t >= intersection.m_t`` reject).
+current-closest t (matching the reference's ``t >= intersection.m_t``
+reject). Misses are encoded as t = +inf; callers min-reduce.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .vecmath import cross, dot, normalize
+from .vec3 import V3, cross, dot, normalize
 
 INF = jnp.float32(jnp.inf)
 
 
-def plane_intersect(o, d, tmin, tcur, pos, normal):
+def plane_intersect(o: V3, d: V3, tmin, tcur, pos: V3, normal: V3):
     """One-sided infinite plane (Rayito_Stage7_QT/RScene.h:301-328).
 
-    o, d: [..., 3] ray origin/dir. pos, normal: [..., 3] (broadcastable).
-    Returns (t [...], hit [...]). The plane only faces rays with nDotD < 0.
+    Returns (t, hit). The plane only faces rays with nDotD < 0.
     """
     n_dot_d = dot(normal, d)
     t = (dot(pos, normal) - dot(o, normal)) / jnp.where(n_dot_d == 0.0, 1.0, n_dot_d)
@@ -31,22 +32,9 @@ def plane_intersect(o, d, tmin, tcur, pos, normal):
     return jnp.where(hit, t, INF), hit
 
 
-def bullseye_modifier(hit_pos, plane_pos, enabled):
-    """Procedural bullseye texture: colorModifier *= 0.2 when
-    fmod(dist * 0.25, 1) > 0.5 (RScene.h:324-328)."""
-    dist = jnp.sqrt(jnp.sum((hit_pos - plane_pos) ** 2, axis=-1))
-    ring = jnp.mod(dist * 0.25, 1.0) > 0.5
-    mod = jnp.where(enabled & ring, 0.2, 1.0)
-    return mod[..., None] * jnp.ones_like(hit_pos)
-
-
-def sphere_intersect(o, d, tmin, tcur, center, radius):
-    """Stable-quadratic sphere test (RScene.h:397-462, Rayito_Stage3/rayito.h:815-882).
-
-    Returns (t, hit). Picks nearest valid root exactly like the reference:
-      miss if t0 >= tcur or t1 < tmin;
-      t = t0 if t0 >= tmin else (t1 if t1 < tcur else miss).
-    """
+def sphere_intersect(o: V3, d: V3, tmin, tcur, center: V3, radius):
+    """Stable-quadratic sphere test (RScene.h:397-462). Returns (t, hit);
+    picks the nearest valid root exactly like the reference."""
     oc = o - center
     a = dot(d, d)
     b = 2.0 * dot(d, oc)
@@ -67,19 +55,11 @@ def sphere_intersect(o, d, tmin, tcur, center, radius):
     return jnp.where(hit, t, INF), hit
 
 
-def sphere_normal(o, d, t, center):
-    """Outward unit normal at the hit point (localPos normalized,
-    RScene.h:456-459)."""
-    p = o + d * t[..., None]
-    return normalize(p - center)
-
-
-def rect_intersect(o, d, tmin, tcur, corner, side1, side2):
+def rect_intersect(o: V3, d: V3, tmin, tcur, corner: V3, side1: V3, side2: V3):
     """Double-sided rectangle (parallelogram) — RectangleLight::intersect
     (Rayito_Stage7_QT/RLight.h:58-117).
 
-    Returns (t, hit, normal [...,3]) with the normal flipped toward the viewer
-    (double-sided light).
+    Returns (t, hit, normal V3) with the normal flipped toward the viewer.
     """
     normal = normalize(cross(side1, side2))
     n_dot_d = dot(normal, d)
@@ -89,26 +69,30 @@ def rect_intersect(o, d, tmin, tcur, corner, side1, side2):
 
     s1_len = jnp.sqrt(dot(side1, side1))
     s2_len = jnp.sqrt(dot(side2, side2))
-    s1n = side1 / jnp.maximum(s1_len, 1e-37)[..., None]
-    s2n = side2 / jnp.maximum(s2_len, 1e-37)[..., None]
-    world_pt = o + d * t[..., None]
+    s1n = side1 / jnp.maximum(s1_len, 1e-37)
+    s2n = side2 / jnp.maximum(s2_len, 1e-37)
+    world_pt = o + d * t
     rel = world_pt - corner
     lx = dot(rel, s1n)
     ly = dot(rel, s2n)
     inside = (lx >= 0.0) & (lx <= s1_len) & (ly >= 0.0) & (ly <= s2_len)
 
     hit = nonparallel & in_range & inside
-    flipped = jnp.where((n_dot_d > 0.0)[..., None], -normal, normal)
+    flipped = V3(
+        jnp.where(n_dot_d > 0.0, -normal.x, normal.x),
+        jnp.where(n_dot_d > 0.0, -normal.y, normal.y),
+        jnp.where(n_dot_d > 0.0, -normal.z, normal.z),
+    )
     return jnp.where(hit, t, INF), hit, flipped
 
 
-def triangle_intersect(o, d, tmin, tcur, v0, v1, v2):
+def triangle_intersect(o: V3, d: V3, tmin, tcur, v0: V3, v1: V3, v2: V3):
     """Möller-Trumbore with the reference's exact formulation
     (Rayito_Stage7_QT/RMesh.h:260-335): det = -dot(d, gnormal), barycentrics
     gamma/beta from scalar triple products.
 
-    Returns (t, hit, beta, gamma, gnormal) where gnormal is the UNnormalized
-    geometric normal cross(v1-v0, v2-v0); alpha = 1 - beta - gamma.
+    Returns (t, hit, beta, gamma, gnormal V3) where gnormal is the
+    UNnormalized geometric normal; alpha = 1 - beta - gamma.
     """
     e1 = v1 - v0
     e2 = v2 - v0
@@ -137,13 +121,30 @@ def triangle_intersect(o, d, tmin, tcur, v0, v1, v2):
     return jnp.where(hit, t, INF), hit, beta, gamma, gnormal
 
 
-def aabb_intersect(o, inv_d, t0, t1, bbox_min, bbox_max):
+def aabb_intersect(o: V3, inv_d: V3, t0, t1, bmin: V3, bmax: V3):
     """Slab test (Rayito_Stage7_QT/RAccel.h:47-59): clips (t0, t1) to the box.
     Returns (hit, new_t0, new_t1)."""
-    tn = (bbox_min - o) * inv_d
-    tf = (bbox_max - o) * inv_d
-    near = jnp.minimum(tn, tf)
-    far = jnp.maximum(tn, tf)
-    nt0 = jnp.maximum(t0, jnp.max(near, axis=-1))
-    nt1 = jnp.minimum(t1, jnp.min(far, axis=-1))
+    tx0 = (bmin.x - o.x) * inv_d.x
+    tx1 = (bmax.x - o.x) * inv_d.x
+    ty0 = (bmin.y - o.y) * inv_d.y
+    ty1 = (bmax.y - o.y) * inv_d.y
+    tz0 = (bmin.z - o.z) * inv_d.z
+    tz1 = (bmax.z - o.z) * inv_d.z
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.minimum(tz0, tz1),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.maximum(tz0, tz1),
+    )
+    nt0 = jnp.maximum(t0, near)
+    nt1 = jnp.minimum(t1, far)
     return nt0 <= nt1, nt0, nt1
+
+
+def bullseye_ring(hit_pos: V3, plane_pos: V3):
+    """fmod(dist * 0.25, 1) > 0.5 ring test (RScene.h:324-328)."""
+    rel = hit_pos - plane_pos
+    dist = jnp.sqrt(dot(rel, rel))
+    return jnp.mod(dist * 0.25, 1.0) > 0.5

@@ -1,4 +1,4 @@
-"""Sample-space warps, vectorized over [N] sample batches.
+"""Sample-space warps, vectorized over [N] sample batches (SoA V3 outputs).
 
 Ports the semantics of the reference warp functions
 (Rayito_Stage7_QT/RSampling.h:400-533) to branchless array code. Each function
@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .vec3 import V3
 from .vecmath import PI
 
 
@@ -62,7 +63,7 @@ def uniform_to_sphere(u1, u2):
     z = 1.0 - 2.0 * u1
     radius = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * PI * u2
-    return jnp.stack([radius * jnp.cos(phi), radius * jnp.sin(phi), z], axis=-1)
+    return V3(radius * jnp.cos(phi), radius * jnp.sin(phi), z)
 
 
 def uniform_to_uniform_disk(u1, u2):
@@ -76,7 +77,7 @@ def uniform_to_hemisphere(u1, u2):
     """Uniform hemisphere, +Z up (RSampling.h:489-496)."""
     radius = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1 * u1))
     phi = 2.0 * PI * u2
-    return jnp.stack([radius * jnp.cos(phi), radius * jnp.sin(phi), u1], axis=-1)
+    return V3(radius * jnp.cos(phi), radius * jnp.sin(phi), u1)
 
 
 def uniform_to_cosine_hemisphere(u1, u2):
@@ -84,7 +85,7 @@ def uniform_to_cosine_hemisphere(u1, u2):
     (RSampling.h:500-509)."""
     dx, dy = concentric_sample_disk(u1, u2)
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - dx * dx - dy * dy))
-    return jnp.stack([dx, dy, z], axis=-1)
+    return V3(dx, dy, z)
 
 
 def uniform_to_cone(u1, u2, cos_theta_max):
@@ -92,9 +93,7 @@ def uniform_to_cone(u1, u2, cos_theta_max):
     cos_theta = u1 * (cos_theta_max - 1.0) + 1.0
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
     phi = 2.0 * PI * u2
-    return jnp.stack(
-        [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], axis=-1
-    )
+    return V3(jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta)
 
 
 def uniform_cone_pdf(cos_theta_max):

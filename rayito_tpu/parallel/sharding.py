@@ -1,0 +1,110 @@
+"""Multi-chip rendering: shard the pixel/sample wavefront across a device mesh.
+
+TPU-native replacement for the reference's 4×4-tile QThread decomposition
+(Rayito_Stage7_QT/RaytraceMain.cpp:502-568, SURVEY §2.9): instead of 16 OS
+threads over fixed image tiles, the whole frame's SoA ray wavefront is
+sharded across a 1-D `jax.sharding.Mesh` with `shard_map`. The scene (flat
+arrays + BVH) is replicated into each chip's HBM; paths are embarrassingly
+parallel so NO collectives run during bouncing; the framebuffer shards ride
+back on the out-sharding (the "psum-free gather of pixel buffers" named in
+BASELINE.json). Per-lane counter-based CMJ seeding keeps the image
+bit-identical regardless of device count — the same determinism guarantee as
+the reference's tile-seeded RNG (RaytraceMain.cpp:66-70), strengthened.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.camera import PerspectiveCamera
+from ..models.scene import SceneData
+from ..ops import rng as rngo
+from ..render.integrator import _subpixel_jitter, screen_uv
+from ..render.pathtracer import pathtrace_wave
+from ..utils.config import RenderConfig
+
+TILE_AXIS = "tiles"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis 'tiles'."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (TILE_AXIS,))
+
+
+@partial(
+    jax.jit, static_argnames=("config", "mesh_axes", "n_pad"),
+)
+def _sharded_pass(scene, config, camera, px, py, si, mesh_axes, n_pad):
+    del n_pad  # shape is already padded; kept for cache keying clarity
+
+    def shard_fn(scene, camera, px, py, si):
+        ps = config.pixel_samples
+        jx, jy = _subpixel_jitter(config, px, py, si, ps, ps)
+        xu, yu = screen_uv(config, px, py, jx, jy)
+        seed = np.uint32(config.seed)
+        perm_lens = rngo.hash_combine(
+            px.astype(jnp.uint32), py.astype(jnp.uint32), rngo.PURPOSE_LENS, seed
+        )
+        lens_u, lens_v = rngo.cmj_sample_2d(si.astype(jnp.uint32), ps, ps, perm_lens)
+        perm_time = rngo.hash_combine(
+            px.astype(jnp.uint32), py.astype(jnp.uint32), rngo.PURPOSE_TIME, seed
+        )
+        time_u = rngo.cmj_sample_1d(si.astype(jnp.uint32), ps * ps, perm_time)
+        o, d, t = camera.make_rays(xu, yu, lens_u, lens_v, time_u)
+        rad = pathtrace_wave(scene, config, o, d, t, px, py, si)
+        return rad.x, rad.y, rad.z
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh_axes,
+        in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        # the BVH while_loop carries mix replicated-initialized state
+        # (node cursors from the replicated scene root) with varying ray
+        # state; vma checking rejects that even though the program is
+        # correct, so it is disabled here.
+        check_vma=False,
+    )(scene, camera, px, py, si)
+
+
+def render_path_sharded(
+    scene: SceneData,
+    config: RenderConfig,
+    camera: PerspectiveCamera,
+    mesh: Mesh | None = None,
+):
+    """Path-trace a frame with the wavefront sharded over the mesh.
+
+    Returns the [H, W, 3] image (host numpy). Lanes are padded to a multiple
+    of the device count; padding lanes render pixel (0,0) redundantly and are
+    dropped on reshape.
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    w, h = config.width, config.height
+    spp = config.pixel_samples**2
+
+    py_, px_ = np.meshgrid(np.arange(h, dtype=np.int32), np.arange(w, dtype=np.int32),
+                           indexing="ij")
+    px_ = np.tile(px_.reshape(-1), spp)
+    py_ = np.tile(py_.reshape(-1), spp)
+    si_ = np.repeat(np.arange(spp, dtype=np.int32), w * h)
+    n = px_.shape[0]
+    n_pad = (-n) % n_dev
+    if n_pad:
+        px_ = np.concatenate([px_, np.zeros(n_pad, np.int32)])
+        py_ = np.concatenate([py_, np.zeros(n_pad, np.int32)])
+        si_ = np.concatenate([si_, np.zeros(n_pad, np.int32)])
+
+    rx, ry, rz = _sharded_pass(
+        scene, config, camera,
+        jnp.asarray(px_), jnp.asarray(py_), jnp.asarray(si_), mesh, n_pad,
+    )
+    radiance = np.stack([np.asarray(rx)[:n], np.asarray(ry)[:n], np.asarray(rz)[:n]], -1)
+    return radiance.reshape(spp, h, w, 3).mean(axis=0)

@@ -1,4 +1,4 @@
-"""Integrators: stage-1 flat color, stage-2/3/4 direct lighting.
+"""Integrators: stage-1 flat color, stage-2/3/4 direct lighting (SoA).
 
 (The full path tracer with NEE+MIS lives in render/pathtracer.py.)
 
@@ -17,11 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.camera import PerspectiveCamera, make_camera_ray_stage1
+from ..models.camera import make_camera_ray_stage1
 from ..models.scene import LIGHT_RECT, LIGHT_SPHERE, SceneData
 from ..ops import rng as rngo
 from ..ops.brdf import KIND_EMITTER, KIND_LAMBERT, KIND_PHONG
-from ..ops.vecmath import dot, normalize
+from ..ops.vec3 import V3, cross, dot, from_aos, normalize, splat, where as vwhere
 from ..ops.warps import uniform_to_sphere
 from ..utils.config import RenderConfig
 from .trace import material_emittance, scene_intersect
@@ -72,6 +72,15 @@ def _subpixel_jitter(config: RenderConfig, px, py, si, spp_x, spp_y):
     return jx, jy
 
 
+def _image_aos(v: V3, n_si, h, w, reduce="sum"):
+    """V3 wavefront -> [H, W, 3] image (AoS only at the output boundary)."""
+    comps = []
+    for c in (v.x, v.y, v.z):
+        c = c.reshape(n_si, h, w)
+        comps.append(c.sum(axis=0) if reduce == "sum" else c.mean(axis=0))
+    return jnp.stack(comps, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Stage 1: deterministic flat-color render
 # ---------------------------------------------------------------------------
@@ -81,14 +90,13 @@ def _subpixel_jitter(config: RenderConfig, px, py, si, spp_x, spp_y):
 def _render_color_pass(scene: SceneData, config: RenderConfig, fov, camera):
     px, py = _pixel_grid(config.width, config.height)
     xu, yu = screen_uv(config, px, py, jnp.float32(0.0), jnp.float32(0.0))
-    origin, target, up = (jnp.asarray(v, jnp.float32) for v in camera)
-    o, d = make_camera_ray_stage1(fov, origin, target, up, xu, yu)
-    t = jnp.zeros(o.shape[0], jnp.float32)
+    o, d = make_camera_ray_stage1(fov, *camera, xu, yu)
+    t = jnp.zeros(xu.shape[0], jnp.float32)
     hit = scene_intersect(scene, o, d, t, config.ray_tmin, jnp.float32(1.0e30))
-    color = jnp.where(
-        hit.valid[:, None], scene.mat_color[jnp.maximum(hit.mat, 0)], 0.0
-    )
-    return color.reshape(config.height, config.width, 3)
+    color = from_aos(scene.mat_color)[jnp.maximum(hit.mat, 0)]
+    zero = jnp.zeros_like(color.x)
+    color = vwhere(hit.valid, color, V3(zero, zero, zero))
+    return _image_aos(color, 1, config.height, config.width)
 
 
 def render_color(scene: SceneData, config: RenderConfig, fov=30.0,
@@ -104,48 +112,49 @@ def render_color(scene: SceneData, config: RenderConfig, fov=30.0,
 # ---------------------------------------------------------------------------
 
 
-def _material_shade(scene: SceneData, mat_ids, normal, in_dir, light_dir):
+def _material_shade(scene: SceneData, mat_ids, normal: V3, in_dir: V3,
+                    light_dir: V3) -> V3:
     """Stage-3/4 Material::shade (Rayito_Stage3/rayito.h:441-506):
     lambert = max(0,l.n)*color; phong = max(0,h.n)^exp*color; emitter = 0."""
-    safe = jnp.maximum(mat_ids, 0)
-    kind = scene.mat_kind[safe]
-    color = scene.mat_color[safe]
-    expo = scene.mat_param[safe]
+    from .trace import material_row
+
+    kind, color, expo = material_row(scene, mat_ids)
     lamb = jnp.maximum(0.0, dot(light_dir, normal))
     half = normalize(light_dir - in_dir)
     phong = jnp.power(jnp.maximum(0.0, dot(half, normal)), expo)
     s = jnp.where(kind == KIND_LAMBERT, lamb, jnp.where(kind == KIND_PHONG, phong, 0.0))
     s = jnp.where(kind == KIND_EMITTER, 0.0, s)
-    return color * s[:, None]
+    return color * s
 
 
-def _sample_light_surface_direct(scene: SceneData, li: int, ref_pos, u1, u2):
+def _sample_light_surface_direct(scene: SceneData, li: int, ref_pos: V3, u1, u2):
     """Stage-2/3 Light::sampleSurface for light index ``li`` (host-static).
 
     RectangleLight: uniform in parallelogram, normal flipped toward ref
     (Rayito_Stage3/rayito.h:677-688). Sphere ShapeLight: uniform sphere point,
     flipped to the ref side (Rayito_Stage3/rayito.h:104-117).
-    Returns (light_point [N,3], light_normal [N,3]).
+    Returns (light_point V3, light_normal V3).
     """
     kind = scene.light_kinds_host[li]
     idx = scene.light_indices_host[li]
     if kind == LIGHT_RECT:
-        corner = scene.rect_corner[idx]
-        s1 = scene.rect_side1[idx]
-        s2 = scene.rect_side2[idx]
-        nrm = normalize(jnp.cross(s1, s2))
-        pos = corner + s1 * u1[:, None] + s2 * u2[:, None]
-        flip = dot(jnp.broadcast_to(nrm, pos.shape), pos - ref_pos) > 0.0
-        nrm = jnp.where(flip[:, None], -nrm, nrm)
+        corner = from_aos(scene.rect_corner)[idx]
+        s1 = from_aos(scene.rect_side1)[idx]
+        s2 = from_aos(scene.rect_side2)[idx]
+        nrm = normalize(cross(s1, s2))
+        pos = corner + s1 * u1 + s2 * u2
+        nrm = nrm.broadcast_to(pos.shape)
+        flip = dot(nrm, pos - ref_pos) > 0.0
+        nrm = vwhere(flip, -nrm, nrm)
         return pos, nrm
     elif kind == LIGHT_SPHERE:
-        center = scene.sph_center[idx]
+        center = from_aos(scene.sph_center)[idx]
         radius = scene.sph_radius[idx]
         nrm = uniform_to_sphere(u1, u2)
         pos = nrm * radius + center
         flip = dot(nrm, ref_pos - pos) < 0.0
-        nrm = jnp.where(flip[:, None], -nrm, nrm)
-        pos = jnp.where(flip[:, None], nrm * radius + center, pos)
+        nrm = vwhere(flip, -nrm, nrm)
+        pos = vwhere(flip, nrm * radius + center, pos)
         return pos, nrm
     else:
         raise NotImplementedError("mesh ShapeLight not used by direct stages")
@@ -166,18 +175,19 @@ def _render_direct_pass(scene: SceneData, config: RenderConfig, fov, camera,
     si = jnp.repeat(si_chunk.astype(jnp.int32), w * h)
     jx, jy = _subpixel_jitter(config, px, py, si, spp_x, spp_y)
     xu, yu = screen_uv(config, px, py, jx, jy)
-    origin, target, up = (jnp.asarray(v, jnp.float32) for v in camera)
-    o, d = make_camera_ray_stage1(fov, origin, target, up, xu, yu)
-    n = o.shape[0]
+    o, d = make_camera_ray_stage1(fov, *camera, xu, yu)
+    n = xu.shape[0]
     t0 = jnp.zeros(n, jnp.float32)
 
     hit = scene_intersect(scene, o, d, t0, config.ray_tmin, jnp.float32(1.0e30))
     result = material_emittance(scene, hit.mat)
-    position = o + d * hit.t[:, None]
+    position = o + d * hit.t
 
     ls_total = config.light_samples * config.light_samples
     for li in range(scene.n_lights):
-        emitted = scene.light_color[li] * scene.light_power[li]
+        lc = scene.light_color[li]
+        lpow = scene.light_power[li]
+        emitted = V3(lc[0] * lpow, lc[1] * lpow, lc[2] * lpow)
         light_sid = scene.light_shape_id[li]
         perm = rngo.hash_combine(
             px.astype(jnp.uint32),
@@ -189,9 +199,10 @@ def _render_direct_pass(scene: SceneData, config: RenderConfig, fov, camera,
         )
 
         # Rolled loop over the stratified light samples: ONE compiled body
-        # regardless of light_samples² (compile time matters — the reference
-        # just loops, RaytraceMain.cpp:339).
-        def light_body(ls, acc, perm=perm, emitted=emitted, light_sid=light_sid):
+        # regardless of light_samples² (the reference just loops,
+        # RaytraceMain.cpp:339).
+        def light_body(ls, acc, perm=perm, emitted=emitted, light_sid=light_sid,
+                       li=li):
             u1, u2 = rngo.cmj_sample_2d(
                 jnp.full(n, ls, jnp.uint32),
                 config.light_samples,
@@ -201,35 +212,28 @@ def _render_direct_pass(scene: SceneData, config: RenderConfig, fov, camera,
             lp, ln = _sample_light_surface_direct(scene, li, position, u1, u2)
             to_light = lp - position
             dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-37))
-            to_light = to_light / dist[:, None]
+            to_light = to_light / dist
             # Shadow: full intersect; occlusion by the light itself is
-            # accepted (stage-3 semantics, Rayito_Stage3/main.cpp:133-141)
+            # accepted for rect lights only (stage-3 semantics + ShapeLight
+            # pointer quirk — Rayito_Stage3/main.cpp:140, rayito.h:710-719)
             shadow = scene_intersect(
                 scene, position, to_light, t0, config.ray_tmin, dist
             )
-            # Quirk parity: the reference accepts occlusion *by the light
-            # itself* via `m_pShape == pLightShape`
-            # (Rayito_Stage3/main.cpp:140) — but for ShapeLights the inner
-            # shape's pointer is recorded, NOT the wrapper (ShapeLight::
-            # intersect patches only the material, Rayito_Stage3/rayito.h:
-            # 710-719), so a ShapeLight's own geometry DOES occlude its
-            # samples. Only rect lights pass the identity check.
             if scene.light_kinds_host[li] == LIGHT_RECT:
                 visible = (~shadow.valid) | (shadow.shape_id == light_sid)
             else:
                 visible = ~shadow.valid
             shade = _material_shade(scene, hit.mat, hit.normal, d, to_light)
-            contrib = emitted[None, :] * hit.color_mod[:, None] * shade
-            return acc + jnp.where((visible & hit.valid)[:, None], contrib, 0.0)
+            gain = jnp.where(visible & hit.valid, hit.color_mod, 0.0)
+            return acc + emitted * shade * gain
 
-        acc = jax.lax.fori_loop(
-            0, ls_total, light_body, jnp.zeros((n, 3), jnp.float32)
-        )
-        result = result + acc / jnp.float32(ls_total)
+        zero = jnp.zeros(n, jnp.float32)
+        acc = jax.lax.fori_loop(0, ls_total, light_body, V3(zero, zero, zero))
+        result = result + acc * (1.0 / jnp.float32(ls_total))
 
-    result = jnp.where(hit.valid[:, None], result, 0.0)
-    img = result.reshape(n_si, h, w, 3).sum(axis=0)
-    return img
+    zero = jnp.zeros(n, jnp.float32)
+    result = vwhere(hit.valid, result, V3(zero, zero, zero))
+    return _image_aos(result, n_si, h, w)
 
 
 def render_direct(scene: SceneData, config: RenderConfig, fov=45.0,

@@ -1,10 +1,11 @@
-"""Area-light sampling with pdfs (stage 5-7 semantics) for NEE/MIS.
+"""Area-light sampling with pdfs (stage 5-7 semantics) for NEE/MIS — SoA.
 
 Implements the pdf-aware Light::sampleSurface / intersectPdf family
 (Rayito_Stage7_QT/RLight.h:185-247 rect, :280-330 ShapeLight;
-RScene.h:525-601 sphere) as vectorized per-light functions. Each light index
-is a HOST-static value (lights are few); per-lane light *choice* is handled by
-computing all lights' candidates and gathering by the lane's chosen index.
+RScene.h:525-601 sphere) as vectorized per-light functions over V3
+wavefronts. Each light index is a HOST-static value (lights are few);
+per-lane light *choice* is handled by computing all lights' candidates and
+selecting by the lane's chosen index.
 
 All transforms are evaluated per lane at the ray time (motion-blurred lights).
 """
@@ -14,80 +15,79 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..models.scene import LIGHT_RECT, LIGHT_SPHERE, SceneData
-from ..ops import quaternion as quat, transform as xfm
+from ..ops import transform as xfm
 from ..ops.intersect import sphere_intersect
-from ..ops.vecmath import (
-    PI,
+from ..ops.vec3 import (
+    V3,
     cross,
     dot,
     from_local_frame,
     make_coordinate_space,
     normalize,
+    splat,
+    where as vwhere,
 )
+from ..ops.vecmath import PI
 from ..ops.warps import uniform_cone_pdf, uniform_to_cone, uniform_to_sphere
 
 PDF_CLAMP = 1.0e10  # "really big PDFs blow up power-heuristic MIS" (RLight.h:210-215)
 
 
-def _light_xf(scene: SceneData, kind: int, idx: int):
-    if kind == LIGHT_RECT:
-        return scene.rect_xf[idx]
-    return scene.sph_xf[idx]
-
-
 def _eval_lane_xf(scene: SceneData, xf_id, time):
     """Evaluate one transform id at per-lane times -> per-lane TRS."""
     time = jnp.asarray(time, jnp.float32)
-    xf_b = jnp.broadcast_to(jnp.asarray(xf_id, jnp.int32), time.shape)
     return xfm.eval_transform(
         scene.xf_times,
         scene.xf_translate,
         scene.xf_scale,
         scene.xf_rotate,
         scene.xf_nkeys,
-        xf_b,
+        jnp.asarray(xf_id, jnp.int32),
         time,
     )
 
 
-def sample_light(scene: SceneData, li: int, ref_pos, ref_normal, time, u1, u2, u3,
-                 tmin: float):
+def _const3(arr_row) -> V3:
+    """Row of a small [K,3] table -> constant V3."""
+    return V3(arr_row[0], arr_row[1], arr_row[2])
+
+
+def sample_light(scene: SceneData, li: int, ref_pos: V3, ref_normal: V3, time,
+                 u1, u2, u3, tmin: float):
     """sampleSurface for light ``li`` (host-static index).
 
-    Returns (light_pos [N,3], light_normal [N,3], pdf [N]); pdf == 0 marks a
+    Returns (light_pos V3, light_normal V3, pdf [N]); pdf == 0 marks a
     rejected sample (backfacing ShapeLight sample / clamped rect pdf).
     """
     kind = scene.light_kinds_host[li]
     idx = scene.light_indices_host[li]
     if kind == LIGHT_RECT:
-        trs = _eval_lane_xf(scene, scene.rect_xf[idx], time)
-        translation, scaling, rotation = trs
-        corner = scene.rect_corner[idx]
-        s1 = scene.rect_side1[idx]
-        s2 = scene.rect_side2[idx]
-        pos_local = corner + s1 * u1[:, None] + s2 * u2[:, None]
+        translation, scaling, rotation = _eval_lane_xf(
+            scene, scene.rect_xf[idx], time
+        )
+        corner = _const3(scene.rect_corner[idx])
+        s1 = _const3(scene.rect_side1[idx])
+        s2 = _const3(scene.rect_side2[idx])
+        pos_local = corner + s1 * u1 + s2 * u2
         pos = xfm.from_local_point(pos_local, translation, scaling, rotation)
         outgoing = ref_pos - pos
         dist = jnp.sqrt(jnp.maximum(dot(outgoing, outgoing), 1e-37))
-        outgoing = outgoing / dist[:, None]
-        nrm = cross(s1, s2)
+        outgoing = outgoing / dist
+        nrm = cross(s1, s2).broadcast_to(pos.shape)
         # transform out as a VECTOR to preserve scale — |n| is the area
         # (RLight.h:199-202)
-        nrm_w = xfm.from_local_vector(
-            jnp.broadcast_to(nrm, pos.shape), translation, scaling, rotation
-        )
+        nrm_w = xfm.from_local_vector(nrm, translation, scaling, rotation)
         area = jnp.sqrt(jnp.maximum(dot(nrm_w, nrm_w), 1e-37))
-        nrm_w = nrm_w / area[:, None]
+        nrm_w = nrm_w / area
         flip = dot(nrm_w, outgoing) < 0.0
-        nrm_w = jnp.where(flip[:, None], -nrm_w, nrm_w)
+        nrm_w = vwhere(flip, -nrm_w, nrm_w)
         pdf = dist * dist / jnp.maximum(area * jnp.abs(dot(nrm_w, outgoing)), 1e-37)
         pdf = jnp.where(pdf > PDF_CLAMP, 0.0, pdf)
         return pos, nrm_w, pdf
 
     elif kind == LIGHT_SPHERE:
-        trs = _eval_lane_xf(scene, scene.sph_xf[idx], time)
-        translation, scaling, rotation = trs
-        center = scene.sph_center[idx]
+        translation, scaling, rotation = _eval_lane_xf(scene, scene.sph_xf[idx], time)
+        center = _const3(scene.sph_center[idx])
         radius = scene.sph_radius[idx]
         local_ref = xfm.to_local_point(ref_pos, translation, scaling, rotation)
         to_center = center - local_ref
@@ -96,11 +96,11 @@ def sample_light(scene: SceneData, li: int, ref_pos, ref_normal, time, u1, u2, u
 
         # --- inside branch: uniform over the sphere (RScene.h:536-551)
         n_in = uniform_to_sphere(u1, u2)
-        pos_in_local = center + n_in * radius
+        pos_in_local = n_in * radius + center
         n_in_w = xfm.from_local_normal(n_in, translation, scaling, rotation)
         pos_in = xfm.from_local_point(pos_in_local, translation, scaling, rotation)
         to_surf = ref_pos - pos_in
-        sapdf = 3.0 / (4.0 * PI * radius * radius)  # quirky factor-3 (RScene.h:598-601)
+        sapdf = 3.0 / (4.0 * PI * radius * radius)  # factor-3 quirk (RScene.h:598-601)
         pdf_in = (
             dot(to_surf, to_surf)
             * sapdf
@@ -116,19 +116,19 @@ def sample_light(scene: SceneData, li: int, ref_pos, ref_normal, time, u1, u2, u
             local_ref,
             cone,
             tmin,
-            jnp.full(u1.shape, 1.0e30, jnp.float32),
-            center,
+            jnp.full(jnp.shape(u1), 1.0e30, jnp.float32),
+            center.broadcast_to(jnp.shape(u1)),
             radius,
         )
         t = jnp.where(did_hit, t_hit, dot(to_center, cone))
-        pos_out_local = local_ref + cone * t[:, None]
+        pos_out_local = local_ref + cone * t
         n_out = normalize(pos_out_local - center)
         n_out_w = xfm.from_local_normal(n_out, translation, scaling, rotation)
         pos_out = xfm.from_local_point(pos_out_local, translation, scaling, rotation)
         pdf_out = uniform_cone_pdf(cos_theta_max)
 
-        pos = jnp.where(inside[:, None], pos_in, pos_out)
-        nrm = jnp.where(inside[:, None], n_in_w, n_out_w)
+        pos = vwhere(inside, pos_in, pos_out)
+        nrm = vwhere(inside, n_in_w, n_out_w)
         pdf = jnp.where(inside, pdf_in, pdf_out)
         # ShapeLight wrapper: discard samples whose normal faces away from the
         # reference point (RLight.h:305-309)
@@ -140,40 +140,38 @@ def sample_light(scene: SceneData, li: int, ref_pos, ref_normal, time, u1, u2, u
         raise NotImplementedError("mesh ShapeLights: pending face-CDF tables")
 
 
-def light_intersect_pdf(scene: SceneData, li: int, ray_o, ray_d, t, hit_normal, time):
+def light_intersect_pdf(scene: SceneData, li: int, ray_o: V3, ray_d: V3, t,
+                        hit_normal: V3, time):
     """intersectPdf for light ``li`` — the MIS pdf of hitting the light by BRDF
     sampling. Caller must already have verified the hit IS this light."""
     kind = scene.light_kinds_host[li]
     idx = scene.light_indices_host[li]
     if kind == LIGHT_RECT:
-        trs = _eval_lane_xf(scene, scene.rect_xf[idx], time)
-        translation, scaling, rotation = trs
+        translation, scaling, rotation = _eval_lane_xf(
+            scene, scene.rect_xf[idx], time
+        )
         s1 = xfm.from_local_vector(
-            jnp.broadcast_to(scene.rect_side1[idx], ray_o.shape),
-            translation,
-            scaling,
-            rotation,
+            _const3(scene.rect_side1[idx]).broadcast_to(ray_o.shape),
+            translation, scaling, rotation,
         )
         s2 = xfm.from_local_vector(
-            jnp.broadcast_to(scene.rect_side2[idx], ray_o.shape),
-            translation,
-            scaling,
-            rotation,
+            _const3(scene.rect_side2[idx]).broadcast_to(ray_o.shape),
+            translation, scaling, rotation,
         )
-        area = jnp.sqrt(jnp.maximum(dot(cross(s1, s2), cross(s1, s2)), 1e-37))
+        c = cross(s1, s2)
+        area = jnp.sqrt(jnp.maximum(dot(c, c), 1e-37))
         pdf = t * t / jnp.maximum(jnp.abs(dot(hit_normal, -ray_d)) * area, 1e-37)
         return jnp.where(pdf > PDF_CLAMP, 0.0, pdf)
 
     elif kind == LIGHT_SPHERE:
-        trs = _eval_lane_xf(scene, scene.sph_xf[idx], time)
-        translation, scaling, rotation = trs
-        center = scene.sph_center[idx]
+        translation, scaling, rotation = _eval_lane_xf(scene, scene.sph_xf[idx], time)
+        center = _const3(scene.sph_center[idx])
         radius = scene.sph_radius[idx]
         local_ref = xfm.to_local_point(ray_o, translation, scaling, rotation)
         to_center = center - local_ref
         dist2 = dot(to_center, to_center)
         inside = dist2 < radius * radius * 1.00001
-        surf_pos = ray_o + ray_d * t[:, None]
+        surf_pos = ray_o + ray_d * t
         to_surf = ray_o - surf_pos
         sapdf = 3.0 / (4.0 * PI * radius * radius)
         pdf_in = (
@@ -190,6 +188,8 @@ def light_intersect_pdf(scene: SceneData, li: int, ray_o, ray_d, t, hit_normal, 
         raise NotImplementedError("mesh ShapeLights: pending face-CDF tables")
 
 
-def light_emitted(scene: SceneData, li: int):
-    """emitted() = color * power (RLight.h:31)."""
-    return scene.light_color[li] * scene.light_power[li]
+def light_emitted(scene: SceneData, li: int) -> V3:
+    """emitted() = color * power (RLight.h:31). Constant V3."""
+    c = scene.light_color[li]
+    p = scene.light_power[li]
+    return V3(c[0] * p, c[1] * p, c[2] * p)

@@ -1,0 +1,292 @@
+"""Dense two-level cluster traversal — the TPU mesh-intersection hot path.
+
+Replaces per-lane BVH pointer chasing with rank-uniform phases
+(see accel/clusters.py for why):
+
+  1. dense ray x supercluster slab tests ([N, S] VPU op);
+  2. top-K1 nearest superclusters per ray; ONE row gather fetches each
+     selected supercluster's 16 children boxes (a packed 128-float row —
+     measured ~140x faster than per-element gathers on TPU); dense slab of
+     the [N, K1*16] cluster candidates; top-K2 nearest;
+  3. (ray, cluster) PAIR COMPACTION: valid pairs are sorted to the front and
+     processed in fixed-size chunks — each pair fetches its cluster's packed
+     512-float triangle row (48 triangles, SoA within the row) and runs one
+     48-wide Moller-Trumbore block, so gather volume tracks ACTUAL work.
+     Pair results are inverse-permuted back to dense [N, K2] form and
+     min-reduced per ray.
+
+**No scatters anywhere** (XLA lowers potentially-colliding scatters to serial
+loops on TPU) and **no small-minor-dim arrays** (physically padded to 128
+lanes — see ops/vec3.py).
+
+Bounded-truncation contract: a ray considers at most K1 superclusters and K2
+clusters (nearest-first). Rays with more candidates than that are counted in
+the returned ``overflow`` diagnostic; the K defaults cover the reference
+scenes with overflow 0 (tests assert it). This plays the role of the
+reference's 50-entry traversal stack (RAccel.h:377-560) at lock-step cost of
+O(1) dense phases per wave.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.clusters import CLUSTERS_PER_SUPER, TRI_PER_CLUSTER
+from ..ops.intersect import INF
+from ..ops.vec3 import V3, from_aos
+
+K1_SUPERS = 16  # superclusters considered per ray (nearest-first)
+K2_CLUSTERS = 32  # clusters considered per ray (nearest-first)
+PAIR_CHUNKS = 4  # pair chunk size = n_rays // PAIR_CHUNKS
+
+
+def _slab6(ox, oy, oz, ix, iy, iz, tmin, tmax, bx0, by0, bz0, bx1, by1, bz1):
+    """Component-wise slab test; returns entry t or INF. All args broadcast."""
+    tx0 = (bx0 - ox) * ix
+    tx1 = (bx1 - ox) * ix
+    ty0 = (by0 - oy) * iy
+    ty1 = (by1 - oy) * iy
+    tz0 = (bz0 - oz) * iz
+    tz1 = (bz1 - oz) * iz
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.minimum(tz0, tz1),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.maximum(tz0, tz1),
+    )
+    t0 = jnp.maximum(near, tmin)
+    t1 = jnp.minimum(far, tmax)
+    return jnp.where(t0 <= t1, t0, INF)
+
+
+def _brute_force_mesh(scene, cl0, n_cl, tri0, o: V3, d: V3, tmin, tmax):
+    """Dense MT over every triangle row of a small mesh."""
+    from ..ops.intersect import triangle_intersect
+
+    T = TRI_PER_CLUSTER
+    n = o.shape[0]
+    rows = scene.tri_rows[cl0 : cl0 + n_cl]  # [C, 512] static slice
+    nt = n_cl * T
+
+    def comp(base):
+        return rows[:, base * T : (base + 1) * T].reshape(1, nt)
+
+    v0 = V3(comp(0), comp(1), comp(2))
+    v1 = V3(comp(3), comp(4), comp(5))
+    v2 = V3(comp(6), comp(7), comp(8))
+    t, hit, beta, gamma, _ = triangle_intersect(
+        o[:, None], d[:, None], tmin, tmax[:, None], v0, v1, v2
+    )
+    j = jnp.argmin(t, axis=1).astype(jnp.int32)
+    sel = lambda a: jnp.take_along_axis(a, j[:, None], axis=1)[:, 0]
+    t_best = sel(t)
+    ok = jnp.isfinite(t_best)
+    prim = jnp.where(ok, tri0 + j, -1)
+    return t_best, prim, sel(beta), sel(gamma), jnp.int32(0)
+
+
+def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
+                            any_hit=False):
+    """Nearest hit of mesh ``mi`` for local-space rays o, d (V3 of [N]).
+
+    Returns (t [N], prim [N] global tri id or -1, beta [N], gamma [N],
+    overflow [] int32 — count of candidate truncations beyond K1/K2).
+    """
+    sc0, n_sc = scene.mesh_sc_ranges[mi]
+    cl0, n_cl = scene.mesh_cl_ranges[mi]
+    tri0 = scene.mesh_tri_ranges[mi][0]
+    n = o.shape[0]
+    inv_d = 1.0 / d
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+
+    # Small meshes: clustering machinery costs more than it saves — run one
+    # dense [N, T] Möller-Trumbore over all rows instead (the reference's
+    # own top-level heuristic in spirit: brute force when tiny, RScene.h:135)
+    if n_cl <= 4:
+        return _brute_force_mesh(scene, cl0, n_cl, tri0, o, d, tmin, tmax)
+
+    k1 = min(n_sc, K1_SUPERS)
+    k2 = min(k1 * CLUSTERS_PER_SUPER, K2_CLUSTERS)
+    chunk = max(128, n // PAIR_CHUNKS)
+    pair_budget = n * k2
+    max_chunks = -(-pair_budget // chunk)
+    pad_to = chunk * max_chunks
+
+    # ---- phase 1: dense supercluster slab (small broadcast table)
+    scm = from_aos(scene.sc_min[sc0 : sc0 + n_sc])
+    scx = from_aos(scene.sc_max[sc0 : sc0 + n_sc])
+    t_sc = _slab6(
+        o.x[:, None], o.y[:, None], o.z[:, None],
+        inv_d.x[:, None], inv_d.y[:, None], inv_d.z[:, None],
+        tmin, tmax[:, None],
+        scm.x[None, :], scm.y[None, :], scm.z[None, :],
+        scx.x[None, :], scx.y[None, :], scx.z[None, :],
+    )  # [N, S]
+    overflow = jnp.sum(
+        jnp.maximum(jnp.sum((t_sc < INF).astype(jnp.int32), axis=1) - k1, 0)
+    )
+    neg_t1, sc_idx = jax.lax.top_k(-t_sc, k1)  # [N, k1] nearest
+    sc_valid = neg_t1 > -INF
+
+    # ---- phase 2: children boxes via ONE packed row gather per super
+    rows = scene.sc_rows[sc0 + sc_idx]  # [N, k1, 128]
+    t_cl = _slab6(
+        o.x[:, None, None], o.y[:, None, None], o.z[:, None, None],
+        inv_d.x[:, None, None], inv_d.y[:, None, None], inv_d.z[:, None, None],
+        tmin, tmax[:, None, None],
+        rows[:, :, 0:16], rows[:, :, 16:32], rows[:, :, 32:48],
+        rows[:, :, 48:64], rows[:, :, 64:80], rows[:, :, 80:96],
+    )  # [N, k1, 16]
+    t_cl = jnp.where(sc_valid[:, :, None], t_cl, INF).reshape(
+        n, k1 * CLUSTERS_PER_SUPER
+    )
+    overflow = overflow + jnp.sum(
+        jnp.maximum(jnp.sum((t_cl < INF).astype(jnp.int32), axis=1) - k2, 0)
+    )
+    neg_t2, cand = jax.lax.top_k(-t_cl, k2)  # [N, k2] slots into k1*16
+    pair_valid = neg_t2 > -INF
+    sc_sel = jnp.take_along_axis(sc_idx, cand >> 4, axis=1)  # [N, k2]
+    cl_local = sc_sel * CLUSTERS_PER_SUPER + (cand & 15)
+
+    # ---- phase 3: pair compaction (valid pairs first, grouped by ray).
+    # ONE multi-operand lax.sort carries all pair payloads — large 1-D
+    # permutation gathers are ~30x slower than the sort itself on TPU.
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    ray_ids = jnp.broadcast_to(lane_ids[:, None], (n, k2)).reshape(-1)
+    cl_flat = cl_local.reshape(-1)
+    valid_flat = pair_valid.reshape(-1)
+    orig_pos = jnp.arange(n * k2, dtype=jnp.int32)
+    sort_key = jnp.where(valid_flat, ray_ids, jnp.int32(2**31 - 1))
+    sort_key = sort_key * jnp.int32(1)  # keep i32
+    _, ray_sorted, cl_sorted, valid_sorted, pos_sorted = jax.lax.sort(
+        (sort_key, ray_ids, cl_flat, valid_flat, orig_pos), num_keys=1
+    )
+    n_valid = jnp.sum(valid_flat.astype(jnp.int32))
+    if pad_to > pair_budget:
+        extra = pad_to - pair_budget
+        ray_sorted = jnp.concatenate([ray_sorted, jnp.zeros(extra, jnp.int32)])
+        cl_sorted = jnp.concatenate([cl_sorted, jnp.zeros(extra, jnp.int32)])
+        valid_sorted = jnp.concatenate([valid_sorted, jnp.zeros(extra, bool)])
+        pos_sorted = jnp.concatenate(
+            [pos_sorted, jnp.full(extra, n * k2, jnp.int32)]
+        )
+
+    T = TRI_PER_CLUSTER
+
+    def chunk_cond(s):
+        return (s[2] * chunk < n_valid) & (s[2] < max_chunks)
+
+    def chunk_body(s):
+        t_pairs_all, prim_pairs_all, ci = s
+        start = ci * chunk
+        pr = jax.lax.dynamic_slice_in_dim(ray_sorted, start, chunk)
+        pc = jax.lax.dynamic_slice_in_dim(cl_sorted, start, chunk)
+        pv = jax.lax.dynamic_slice_in_dim(valid_sorted, start, chunk)
+        trows = scene.tri_rows[cl0 + pc]  # [P, 512]: one row gather per pair
+        v0x, v0y, v0z = trows[:, 0:T], trows[:, T : 2 * T], trows[:, 2 * T : 3 * T]
+        v1x = trows[:, 3 * T : 4 * T]
+        v1y = trows[:, 4 * T : 5 * T]
+        v1z = trows[:, 5 * T : 6 * T]
+        v2x = trows[:, 6 * T : 7 * T]
+        v2y = trows[:, 7 * T : 8 * T]
+        v2z = trows[:, 8 * T : 9 * T]
+        po = o[pr]
+        pd = d[pr]
+        # Moller-Trumbore, reference formulation (RMesh.h:260-335), inlined
+        # on row components [P, 48]
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        gnx = e1y * e2z - e1z * e2y
+        gny = e1z * e2x - e1x * e2z
+        gnz = e1x * e2y - e1y * e2x
+        dx, dy, dz = pd.x[:, None], pd.y[:, None], pd.z[:, None]
+        det = -(dx * gnx + dy * gny + dz * gnz)
+        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        t0x = v0x - po.x[:, None]
+        t0y = v0y - po.y[:, None]
+        t0z = v0z - po.z[:, None]
+        rcx = dy * t0z - dz * t0y
+        rcy = dz * t0x - dx * t0z
+        rcz = dx * t0y - dy * t0x
+        t1x = v1x - po.x[:, None]
+        t1y = v1y - po.y[:, None]
+        t1z = v1z - po.z[:, None]
+        gamma = -(t1x * rcx + t1y * rcy + t1z * rcz) * inv_det
+        t2x = v2x - po.x[:, None]
+        t2y = v2y - po.y[:, None]
+        t2z = v2z - po.z[:, None]
+        beta = (t2x * rcx + t2y * rcy + t2z * rcz) * inv_det
+        t = -(t0x * gnx + t0y * gny + t0z * gnz) * inv_det
+        hit = (
+            (det != 0.0)
+            & (gamma >= 0.0)
+            & (gamma <= 1.0)
+            & (beta >= 0.0)
+            & (beta + gamma <= 1.0)
+            & (t >= tmin)
+            & (t < tmax[pr][:, None])
+            & pv[:, None]
+        )
+        t_tri = jnp.where(hit, t, INF)
+        t_pair = jnp.min(t_tri, axis=1)
+        arg = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
+        prim_pair = tri0 + pc * T + arg
+        t_pairs_all = jax.lax.dynamic_update_slice_in_dim(
+            t_pairs_all, t_pair, start, 0
+        )
+        prim_pairs_all = jax.lax.dynamic_update_slice_in_dim(
+            prim_pairs_all, prim_pair, start, 0
+        )
+        return t_pairs_all, prim_pairs_all, ci + 1
+
+    t_pairs_all, prim_pairs_all, _ = jax.lax.while_loop(
+        chunk_cond,
+        chunk_body,
+        (
+            jnp.full((pad_to,), INF, jnp.float32),
+            jnp.full((pad_to,), -1, jnp.int32),
+            jnp.int32(0),
+        ),
+    )
+
+    # ---- winner resolution: restore original pair order by sorting on the
+    # carried original positions (padding sorts to the end), then dense
+    # [N, k2] min-reduce
+    _, t_orig, prim_orig = jax.lax.sort(
+        (pos_sorted, t_pairs_all, prim_pairs_all), num_keys=1
+    )
+    t_dense = t_orig[:pair_budget].reshape(n, k2)
+    prim_dense = prim_orig[:pair_budget].reshape(n, k2)
+    t_best = jnp.min(t_dense, axis=1)
+    j_star = jnp.argmin(t_dense, axis=1)
+    prim_best = jnp.take_along_axis(prim_dense, j_star[:, None], axis=1)[:, 0]
+
+    hit_mask = jnp.isfinite(t_best) & (t_best < tmax) & (prim_best >= 0)
+    # barycentrics of the winning triangle: one packed row gather + re-test
+    pr_safe = jnp.maximum(prim_best, 0)
+    rel = pr_safe - tri0
+    win_cl = rel // T
+    win_j = rel - win_cl * T
+    wrow = scene.tri_rows[cl0 + win_cl]  # [N, 512]
+    # ONE take_along_axis for all 9 vertex components
+    cols9 = win_j[:, None] + jnp.arange(9, dtype=jnp.int32)[None, :] * T
+    comps = jnp.take_along_axis(wrow, cols9, axis=1)  # [N, 9]
+    wv0 = V3(comps[:, 0], comps[:, 1], comps[:, 2])
+    wv1 = V3(comps[:, 3], comps[:, 4], comps[:, 5])
+    wv2 = V3(comps[:, 6], comps[:, 7], comps[:, 8])
+    from ..ops.intersect import triangle_intersect
+
+    t_fin, h_fin, beta, gamma, _ = triangle_intersect(
+        o, d, tmin, jnp.full((n,), INF), wv0, wv1, wv2
+    )
+    ok = hit_mask & h_fin
+    return (
+        jnp.where(ok, t_fin, INF),
+        jnp.where(ok, prim_best, -1),
+        beta,
+        gamma,
+        overflow,
+    )

@@ -1,9 +1,11 @@
-"""Wavefront path tracer with next-event estimation and two-way MIS.
+"""Wavefront path tracer with next-event estimation and two-way MIS (SoA).
 
 This is the TPU rewrite of ``pathTrace`` + ``RenderThread``
 (Rayito_Stage7_QT/RaytraceMain.cpp:47-482): the per-pixel recursive loop
-becomes a bounce-unrolled wavefront program over an SoA ray batch; masked
-lanes replace control flow; the NEE inner loop is a rolled ``lax.fori_loop``.
+becomes a bounce-rolled (lax.fori_loop) wavefront program over component-SoA
+ray state; masked lanes replace control flow; the NEE inner loop is a rolled
+``lax.fori_loop``. Colors and vectors are V3 component tuples — no [..., 3]
+arrays (see ops/vec3.py).
 
 Faithfully reproduced semantics (SURVEY §2.8):
   * emission added only at bounce 0 or through an unbroken chain of Dirac
@@ -17,10 +19,8 @@ Faithfully reproduced semantics (SURVEY §2.8):
   * no Russian roulette; fixed max depth.
 
 Sampler taxonomy matches the reference's CMJ pattern sizes
-(RaytraceMain.cpp:84-108): bounce 2D (ps×ps) indexed by pixel-sample;
-light-select/element 1D of (ps·ls)²; light/brdf 2D of (ps·ls)×(ps·ls)
-indexed by pixelSample*numLightSamples+lightSample — except ours are keyed
-by pure (pixel, purpose, bounce) hashes instead of a sequential MWC chain.
+(RaytraceMain.cpp:84-108), keyed by pure (pixel, purpose, bounce) hashes
+instead of a sequential MWC chain.
 """
 
 from __future__ import annotations
@@ -42,7 +42,8 @@ from ..ops.brdf import (
     sample_sa,
 )
 from ..ops.mis import power_heuristic
-from ..ops.vecmath import RAY_TMAX, dot
+from ..ops.vec3 import V3, dot, from_aos, where as vwhere
+from ..ops.vecmath import RAY_TMAX
 from ..utils.config import RenderConfig
 from . import lights as L
 from .integrator import _pixel_grid, _subpixel_jitter, screen_uv
@@ -50,10 +51,9 @@ from .trace import material_emittance, scene_intersect, scene_occluded
 
 
 def _mat_lookup(scene: SceneData, mat_ids):
-    safe = jnp.maximum(mat_ids, 0)
-    kind = scene.mat_kind[safe]
-    color = scene.mat_color[safe]
-    param = scene.mat_param[safe]
+    from .trace import material_row
+
+    kind, color, param = material_row(scene, mat_ids)
     # Glossy exponent = 1/roughness² (RMaterial.h:211); guarded for non-glossy
     exponent = jnp.where(
         kind == KIND_GLOSSY, 1.0 / jnp.maximum(param * param, 1e-12), 1.0
@@ -62,25 +62,34 @@ def _mat_lookup(scene: SceneData, mat_ids):
 
 
 def _select_by_light(stacked, light_idx):
-    """stacked [L, N, ...] -> per-lane selection by light_idx [N]."""
+    """stacked [L, N] -> per-lane selection by light_idx [N]."""
     if stacked.shape[0] == 1:
         return stacked[0]
-    idx = light_idx[None, ...]
-    while idx.ndim < stacked.ndim:
-        idx = idx[..., None]
-    return jnp.take_along_axis(stacked, idx.astype(jnp.int32), axis=0)[0]
+    return jnp.take_along_axis(
+        stacked, light_idx[None, :].astype(jnp.int32), axis=0
+    )[0]
 
 
-def pathtrace_wave(scene: SceneData, config: RenderConfig, o, d, time, px, py, si):
+def _select_v3_by_light(stacked: V3, light_idx) -> V3:
+    return V3(
+        _select_by_light(stacked.x, light_idx),
+        _select_by_light(stacked.y, light_idx),
+        _select_by_light(stacked.z, light_idx),
+    )
+
+
+def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
+                   px, py, si):
     """Trace one wavefront of camera rays to completion.
 
-    o, d [N,3]; time [N]; px, py [N] pixel coords; si [N] pixel-sample index.
-    Returns radiance [N,3].
+    o, d: V3 of [N]; time [N]; px, py [N] pixel coords; si [N] pixel-sample
+    index. Returns radiance V3 of [N].
     """
     n = o.shape[0]
     f32 = jnp.float32
-    result = jnp.zeros((n, 3), f32)
-    throughput = jnp.ones((n, 3), f32)
+    zeros = jnp.zeros((n,), f32)
+    result = V3(zeros, zeros, zeros)
+    throughput = V3(jnp.ones((n,), f32), jnp.ones((n,), f32), jnp.ones((n,), f32))
     alive = jnp.ones((n,), bool)
     num_dirac = jnp.zeros((n,), jnp.int32)
 
@@ -94,17 +103,20 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o, d, time, px, py, s
     pxu = px.astype(jnp.uint32)
     pyu = py.astype(jnp.uint32)
     siu = si.astype(jnp.uint32)
+    emitted_const = [L.light_emitted(scene, li) for li in range(n_lights)]
 
-    for bounce in range(config.max_depth):
+    def bounce_body(bounce, carry):
+        o, d, result, throughput, alive, num_dirac = carry
         hit = scene_intersect(scene, o, d, time, tmin, jnp.full((n,), RAY_TMAX, f32))
         lane = alive & hit.valid
 
         kind, mat_color, exponent = _mat_lookup(scene, hit.mat)
 
         # ---- emission gate: camera-visible or pure-Dirac chain
-        gate = lane & (num_dirac == bounce) if bounce else lane
+        gate = lane & ((bounce == 0) | (num_dirac == bounce))
         emit = material_emittance(scene, hit.mat)
-        result = result + jnp.where(gate[:, None], throughput * emit, 0.0)
+        contrib = throughput * emit
+        result = result + vwhere(gate, contrib, V3(zeros, zeros, zeros))
 
         # emitters terminate the path (no BRDF — RaytraceMain.cpp:319-323)
         lane = lane & (kind != KIND_EMITTER)
@@ -112,26 +124,27 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o, d, time, px, py, s
         is_dirac = (kind == KIND_REFLECTION) & lane
         num_dirac = num_dirac + is_dirac.astype(jnp.int32)
 
-        position = o + d * hit.t[:, None]
+        position = o + d * hit.t
         outgoing = -d
         normal = hit.normal
-        cmod_color = hit.color_mod[:, None] * mat_color
+        cmod_color = mat_color * hit.color_mod
+        bounce_u = bounce.astype(jnp.uint32)
 
         # ---- next-event estimation with MIS (non-Dirac lanes only)
         if n_lights > 0 and nls > 0:
             nee_lane = lane & ~is_dirac
 
             perm_sel = rngo.hash_combine(
-                pxu, pyu, rngo.PURPOSE_LIGHT_SELECT, np.uint32(bounce), seed
+                pxu, pyu, rngo.PURPOSE_LIGHT_SELECT, bounce_u, seed
             )
             perm_elem = rngo.hash_combine(
-                pxu, pyu, rngo.PURPOSE_LIGHT_ELEMENT, np.uint32(bounce), seed
+                pxu, pyu, rngo.PURPOSE_LIGHT_ELEMENT, bounce_u, seed
             )
             perm_light = rngo.hash_combine(
-                pxu, pyu, rngo.PURPOSE_LIGHT, np.uint32(bounce), seed
+                pxu, pyu, rngo.PURPOSE_LIGHT, bounce_u, seed
             )
             perm_brdf = rngo.hash_combine(
-                pxu, pyu, rngo.PURPOSE_BRDF, np.uint32(bounce), seed
+                pxu, pyu, rngo.PURPOSE_BRDF, bounce_u, seed
             )
 
             def nee_body(lsi, acc):
@@ -144,23 +157,46 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o, d, time, px, py, s
                 lsu, lsv = rngo.cmj_sample_2d(fsi, ps * ls, ps * ls, perm_light)
                 leu = rngo.cmj_sample_1d(fsi, (ps * ls) ** 2, perm_elem)
 
-                # sample every light, gather the chosen one per lane
+                # sample every light, select the chosen one per lane
                 cand = [
                     L.sample_light(
                         scene, li, position, normal, time, lsu, lsv, leu, tmin
                     )
                     for li in range(n_lights)
                 ]
-                lp = _select_by_light(jnp.stack([c[0] for c in cand]), light_idx)
-                lpdf = _select_by_light(jnp.stack([c[2] for c in cand]), light_idx)
-                emitted_table = scene.light_color * scene.light_power[:, None]
-                emitted = emitted_table[light_idx]
+                lp = _select_v3_by_light(
+                    V3(
+                        jnp.stack([c[0].x for c in cand]),
+                        jnp.stack([c[0].y for c in cand]),
+                        jnp.stack([c[0].z for c in cand]),
+                    ),
+                    light_idx,
+                )
+                lpdf = _select_by_light(
+                    jnp.stack([c[2] for c in cand]), light_idx
+                )
+                emitted = _select_v3_by_light(
+                    V3(
+                        jnp.stack(
+                            [jnp.broadcast_to(e.x, (n,)) for e in emitted_const]
+                        ),
+                        jnp.stack(
+                            [jnp.broadcast_to(e.y, (n,)) for e in emitted_const]
+                        ),
+                        jnp.stack(
+                            [jnp.broadcast_to(e.z, (n,)) for e in emitted_const]
+                        ),
+                    ),
+                    light_idx,
+                )
                 chosen_sid = scene.light_shape_id[light_idx]
 
                 # --- light-sampled direction
                 light_incoming = position - lp
-                dist = jnp.sqrt(jnp.maximum(dot(light_incoming, light_incoming), 1e-37))
-                light_incoming = light_incoming / dist[:, None]
+                dist = jnp.sqrt(
+                    jnp.maximum(dot(light_incoming, light_incoming), 1e-37)
+                )
+                light_incoming = light_incoming / dist
                 f_l, brdf_pdf_l = evaluate_sa(
                     kind, exponent, light_incoming, outgoing, normal
                 )
@@ -175,13 +211,15 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o, d, time, px, py, s
                 )
                 ok_l = ok_l & ~occluded
                 w_l = power_heuristic(1.0, lpdf, 1.0, brdf_pdf_l)
-                contrib_l = (
-                    emitted
-                    * cmod_color
-                    * (f_l * jnp.abs(dot(-light_incoming, normal)) * w_l
-                       / jnp.maximum(lpdf, 1e-37))[:, None]
+                gain_l = jnp.where(
+                    ok_l,
+                    f_l
+                    * jnp.abs(dot(-light_incoming, normal))
+                    * w_l
+                    / jnp.maximum(lpdf, 1e-37),
+                    0.0,
                 )
-                acc = acc + jnp.where(ok_l[:, None], contrib_l, 0.0)
+                acc = acc + emitted * cmod_color * gain_l
 
                 # --- BRDF-sampled direction toward the same light
                 bsu, bsv = rngo.cmj_sample_2d(fsi, ps * ls, ps * ls, perm_brdf)
@@ -205,54 +243,57 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o, d, time, px, py, s
                 lpdf_b = _select_by_light(jnp.stack(lpdf_b), light_idx)
                 ok_b = hit_light & (lpdf_b > 0.0)
                 w_b = power_heuristic(1.0, pdf_b, 1.0, lpdf_b)
-                contrib_b = (
-                    emitted
-                    * cmod_color
-                    * (f_b * jnp.abs(dot(-b_in, normal)) * w_b
-                       / jnp.maximum(pdf_b, 1e-37))[:, None]
+                gain_b = jnp.where(
+                    ok_b,
+                    f_b * jnp.abs(dot(-b_in, normal)) * w_b
+                    / jnp.maximum(pdf_b, 1e-37),
+                    0.0,
                 )
-                return acc + jnp.where(ok_b[:, None], contrib_b, 0.0)
+                return acc + emitted * cmod_color * gain_b
 
             light_acc = jax.lax.fori_loop(
-                0, nls, nee_body, jnp.zeros((n, 3), f32)
+                0, nls, nee_body, V3(zeros, zeros, zeros)
             )
             scale = f32(n_lights) / f32(nls)
             result = result + throughput * light_acc * scale
 
         # ---- sample BRDF for the path continuation
         perm_bounce = rngo.hash_combine(
-            pxu, pyu, rngo.PURPOSE_BOUNCE, np.uint32(bounce), seed
+            pxu, pyu, rngo.PURPOSE_BOUNCE, bounce_u, seed
         )
         bu, bv = rngo.cmj_sample_2d(siu, ps, ps, perm_bounce)
         incoming, f_c, pdf_c = sample_sa(kind, exponent, outgoing, normal, bu, bv)
         cont = lane & (pdf_c > 0.0)
-        throughput = jnp.where(
-            cont[:, None],
-            throughput
-            * cmod_color
-            * (f_c * jnp.abs(dot(-incoming, normal)) / jnp.maximum(pdf_c, 1e-37))[
-                :, None
-            ],
-            throughput,
+        gain_c = jnp.where(
+            cont,
+            f_c * jnp.abs(dot(-incoming, normal)) / jnp.maximum(pdf_c, 1e-37),
+            1.0,
         )
-        o = jnp.where(cont[:, None], position, o)
-        d = jnp.where(cont[:, None], -incoming, d)
+        throughput = vwhere(cont, throughput * cmod_color * gain_c, throughput)
+        o = vwhere(cont, position, o)
+        d = vwhere(cont, -incoming, d)
         alive = cont
+        return o, d, result, throughput, alive, num_dirac
 
+    # Rolled bounce loop: ONE compiled bounce body regardless of max_depth.
+    o, d, result, throughput, alive, num_dirac = jax.lax.fori_loop(
+        0, config.max_depth, bounce_body,
+        (o, d, result, throughput, alive, num_dirac),
+    )
     return result
 
 
 @partial(jax.jit, static_argnames=("config",))
 def _render_path_pass(scene: SceneData, config: RenderConfig, camera: PerspectiveCamera,
                       si_chunk):
-    """All pixels × the pixel-sample indices in si_chunk; returns SUM image."""
+    """All pixels × the pixel-sample indices in si_chunk; returns SUM image
+    [H, W, 3] (AoS only at this output boundary)."""
     w, h = config.width, config.height
     n_si = si_chunk.shape[0]
     px, py = _pixel_grid(w, h)
     px = jnp.tile(px, n_si)
     py = jnp.tile(py, n_si)
     si = jnp.repeat(si_chunk.astype(jnp.int32), w * h)
-    n = px.shape[0]
     ps = config.pixel_samples
     seed = np.uint32(config.seed)
 
@@ -270,7 +311,15 @@ def _render_path_pass(scene: SceneData, config: RenderConfig, camera: Perspectiv
 
     o, d, t = camera.make_rays(xu, yu, lens_u, lens_v, time_u)
     radiance = pathtrace_wave(scene, config, o, d, t, px, py, si)
-    return radiance.reshape(n_si, h, w, 3).sum(axis=0)
+    img = jnp.stack(
+        [
+            radiance.x.reshape(n_si, h, w).sum(axis=0),
+            radiance.y.reshape(n_si, h, w).sum(axis=0),
+            radiance.z.reshape(n_si, h, w).sum(axis=0),
+        ],
+        axis=-1,
+    )
+    return img
 
 
 def render_path(scene: SceneData, config: RenderConfig, camera: PerspectiveCamera):

@@ -1,15 +1,18 @@
-"""Wavefront scene intersection.
+"""Wavefront scene intersection (component-SoA).
 
 The reference's ``ShapeSet::intersect`` walks a shape list / BVH with virtual
 dispatch per ray (Rayito_Stage7_QT/RScene.h:113-268). Here a whole SoA ray
 wavefront is intersected against each *kind* of primitive in one dense
 batched op (rays × shapes broadcasting for the handful of top-level shapes),
-plus a lock-step skip-link BVH walk for triangle meshes; the per-kind winners
-are then min-reduced. This is the "flat arrays + min-reduction instead of
-pointer dispatch" design from SURVEY §7, and deliberately brute-forces the
-top level (the reference itself only builds a scene BVH for >2 finite shapes;
-dozens of dense AABB/quadric tests are cheaper than divergent traversal on a
-vector machine).
+plus the dense cluster traversal for triangle meshes; per-kind winners are
+min-reduced. This is the "flat arrays + min-reduction instead of pointer
+dispatch" design from SURVEY §7; the top level is deliberately brute-forced
+(the reference itself only builds a scene BVH for >2 finite shapes; dozens
+of dense AABB/quadric tests are cheaper than divergent traversal on a vector
+machine).
+
+All per-lane vectors are V3 component-SoA (ops/vec3.py) — no [..., 3]
+arrays anywhere on the hot path.
 
 Keyed TRS transforms (motion blur) are applied per-(ray, shape) when the
 scene has any non-identity transform; static scenes skip that math entirely
@@ -34,9 +37,7 @@ from ..ops.intersect import (
     sphere_intersect,
     triangle_intersect,
 )
-from ..ops.vecmath import normalize
-
-I32_NONE = jnp.int32(-1)
+from ..ops.vec3 import V3, cross, from_aos, normalize, where as vwhere
 
 
 @jax.tree_util.register_dataclass
@@ -48,12 +49,12 @@ class Hit:
     valid: jnp.ndarray  # [N] bool
     shape_id: jnp.ndarray  # [N] int32 global shape id; -1 = miss
     mat: jnp.ndarray  # [N] int32 material id; -1 = miss
-    normal: jnp.ndarray  # [N, 3]
+    normal: V3  # [N] components
     color_mod: jnp.ndarray  # [N] scalar modifier (bullseye texture)
 
 
-def _eval_xf(scene: SceneData, xf_ids, time):
-    """Per-(ray, shape) TRS evaluation. xf_ids [S], time [N] -> [N, S, ...]."""
+def _eval_xf_pairwise(scene: SceneData, xf_ids, time):
+    """Per-(ray, shape) TRS evaluation: xf_ids [S], time [N] -> [N, S]."""
     return xf.eval_transform(
         scene.xf_times,
         scene.xf_translate,
@@ -61,37 +62,45 @@ def _eval_xf(scene: SceneData, xf_ids, time):
         scene.xf_rotate,
         scene.xf_nkeys,
         xf_ids[None, :],
-        time[:, None],
+        time[:, None] * jnp.ones((1, xf_ids.shape[0]), jnp.float32),
     )
 
 
-def _rays_to_local(scene: SceneData, xf_ids, o, d, time):
+def _rays_to_local(scene: SceneData, xf_ids, o: V3, d: V3, time):
     """Transform rays into each shape's local space.
 
-    Returns (o_local [N,S,3], d_local [N,S,3], trs or None). When the scene is
-    static this is a free broadcast. Local t equals world t (RRay.h:78-87).
+    Returns (o_l, d_l of shape [N, S] (or broadcastable [N, 1]), trs|None).
+    Local t equals world t (RRay.h:78-87).
     """
     if not scene.has_motion:
-        return o[:, None, :], d[:, None, :], None
-    trs = _eval_xf(scene, xf_ids, time)
+        return o[:, None], d[:, None], None
+    trs = _eval_xf_pairwise(scene, xf_ids, time)
     translation, scaling, rotation = trs
-    o_l = xf.to_local_point(o[:, None, :], translation, scaling, rotation)
-    d_l = xf.to_local_vector(d[:, None, :], translation, scaling, rotation)
+    o_l = xf.to_local_point(o[:, None], translation, scaling, rotation)
+    d_l = xf.to_local_vector(d[:, None], translation, scaling, rotation)
     return o_l, d_l, trs
 
 
-def _normal_from_local(trs, n_local, winner_idx):
-    """Rotate the winning shape's local normal back to world (normals rotate
-    only; no inverse-scale correction — reference quirk, RMath.h:834-842)."""
+def _winner_ray(o_l: V3, d_l: V3, idx, o: V3, d: V3, trs):
+    """Local-space ray of the winning shape per lane (static scenes: world
+    ray IS the local ray — avoids OOB gathers on the broadcast axis)."""
     if trs is None:
-        return n_local
-    _, _, rotation = trs
-    rot_w = jnp.take_along_axis(
-        rotation, winner_idx[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0, :]
-    from ..ops import quaternion as quat
+        return o, d
+    sel = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    return (
+        V3(sel(o_l.x), sel(o_l.y), sel(o_l.z)),
+        V3(sel(d_l.x), sel(d_l.y), sel(d_l.z)),
+    )
 
-    return quat.rotate_vector(rot_w, n_local)
+
+def _winner_rotation(trs, idx):
+    from ..ops.quaternion import Quat
+
+    _, _, rotation = trs
+    sel = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    return Quat(
+        sel(rotation.w), V3(sel(rotation.v.x), sel(rotation.v.y), sel(rotation.v.z))
+    )
 
 
 def _argmin_t(t_ns):
@@ -101,67 +110,55 @@ def _argmin_t(t_ns):
     return t, idx
 
 
-def _gather_winner_ray(o_l, d_l, idx, o, d, trs):
-    """Local-space ray of the winning shape per lane.
-
-    When the scene is static, o_l/d_l are broadcast views with a size-1 shape
-    axis — gathering them by shape index would be out-of-bounds (jnp fills
-    OOB gathers with NaN); the world ray IS the local ray, so return it."""
-    if trs is None:
-        return o, d
-    o_w = jnp.take_along_axis(o_l, idx[:, None, None], axis=1)[:, 0]
-    d_w = jnp.take_along_axis(d_l, idx[:, None, None], axis=1)[:, 0]
-    return o_w, d_w
-
-
 # ---------------------------------------------------------------------------
 # Per-kind candidate intersections
 # ---------------------------------------------------------------------------
 
 
-def _planes_candidate(scene: SceneData, o, d, time, tmin, tmax):
+def _planes_candidate(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
     o_l, d_l, trs = _rays_to_local(scene, scene.pln_xf, o, d, time)
-    t_ns, _ = plane_intersect(
-        o_l, d_l, tmin, tmax[:, None], scene.pln_pos[None], scene.pln_normal[None]
-    )
+    pos = from_aos(scene.pln_pos)[None, :]  # V3 of [1, P]
+    nrm = from_aos(scene.pln_normal)[None, :]
+    t_ns, _ = plane_intersect(o_l, d_l, tmin, tmax[:, None], pos, nrm)
     t, idx = _argmin_t(t_ns)
     valid = jnp.isfinite(t)
     # bullseye modifier uses the LOCAL-space hit position (the reference
     # intersects the plane in local space, RScene.h:306-328)
-    o_w, d_w = _gather_winner_ray(o_l, d_l, idx, o, d, trs)
-    t_safe = jnp.where(valid, t, 0.0)  # keep inf out of the bullseye math
-    hit_pos = o_w + d_w * t_safe[:, None]
-    pln_pos_w = scene.pln_pos[idx]
-    dist = jnp.sqrt(jnp.sum((hit_pos - pln_pos_w) ** 2, axis=-1))
+    o_w, d_w = _winner_ray(o_l, d_l, idx, o, d, trs)
+    t_safe = jnp.where(valid, t, 0.0)
+    hit_pos = o_w + d_w * t_safe
+    pln_pos_w = from_aos(scene.pln_pos)[idx]
+    rel = hit_pos - pln_pos_w
+    dist = jnp.sqrt(rel.x * rel.x + rel.y * rel.y + rel.z * rel.z)
     ring = jnp.mod(dist * 0.25, 1.0) > 0.5
     color_mod = jnp.where(scene.pln_bullseye[idx] & ring & valid, 0.2, 1.0)
-    n_local = scene.pln_normal[idx]
-    normal = _normal_from_local(trs, n_local, idx)
-    return (
-        t,
-        idx,  # shape id base 0
-        scene.pln_mat[idx],
-        normal,
-        color_mod,
-    )
+    n_local = from_aos(scene.pln_normal)[idx]
+    if trs is not None:
+        from ..ops.quaternion import rotate_vector
+
+        normal = rotate_vector(_winner_rotation(trs, idx), n_local)
+    else:
+        normal = n_local
+    return t, idx, scene.pln_mat[idx], normal, color_mod
 
 
-def _spheres_candidate(scene: SceneData, o, d, time, tmin, tmax):
+def _spheres_candidate(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
     o_l, d_l, trs = _rays_to_local(scene, scene.sph_xf, o, d, time)
+    center = from_aos(scene.sph_center)[None, :]
     t_ns, _ = sphere_intersect(
-        o_l,
-        d_l,
-        tmin,
-        tmax[:, None],
-        scene.sph_center[None],
-        scene.sph_radius[None],
+        o_l, d_l, tmin, tmax[:, None], center, scene.sph_radius[None]
     )
     t, idx = _argmin_t(t_ns)
-    o_w, d_w = _gather_winner_ray(o_l, d_l, idx, o, d, trs)
+    o_w, d_w = _winner_ray(o_l, d_l, idx, o, d, trs)
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
-    p_local = o_w + d_w * t_safe[:, None]
-    n_local = normalize(p_local - scene.sph_center[idx])
-    normal = _normal_from_local(trs, n_local, idx)
+    p_local = o_w + d_w * t_safe
+    n_local = normalize(p_local - from_aos(scene.sph_center)[idx])
+    if trs is not None:
+        from ..ops.quaternion import rotate_vector
+
+        normal = rotate_vector(_winner_rotation(trs, idx), n_local)
+    else:
+        normal = n_local
     return (
         t,
         scene.sphere_id0 + idx,
@@ -171,20 +168,23 @@ def _spheres_candidate(scene: SceneData, o, d, time, tmin, tmax):
     )
 
 
-def _rects_candidate(scene: SceneData, o, d, time, tmin, tmax):
+def _rects_candidate(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
     o_l, d_l, trs = _rays_to_local(scene, scene.rect_xf, o, d, time)
-    t_ns, _, normals = rect_intersect(
-        o_l,
-        d_l,
-        tmin,
-        tmax[:, None],
-        scene.rect_corner[None],
-        scene.rect_side1[None],
-        scene.rect_side2[None],
-    )
+    corner = from_aos(scene.rect_corner)[None, :]
+    s1 = from_aos(scene.rect_side1)[None, :]
+    s2 = from_aos(scene.rect_side2)[None, :]
+    t_ns, _, normals = rect_intersect(o_l, d_l, tmin, tmax[:, None], corner, s1, s2)
     t, idx = _argmin_t(t_ns)
-    n_local = jnp.take_along_axis(normals, idx[:, None, None], axis=1)[:, 0]
-    normal = _normal_from_local(trs, n_local, idx)
+    sel = lambda a: jnp.take_along_axis(
+        jnp.broadcast_to(a, t_ns.shape), idx[:, None], axis=1
+    )[:, 0]
+    n_local = V3(sel(normals.x), sel(normals.y), sel(normals.z))
+    if trs is not None:
+        from ..ops.quaternion import rotate_vector
+
+        normal = rotate_vector(_winner_rotation(trs, idx), n_local)
+    else:
+        normal = n_local
     return (
         t,
         scene.rect_id0 + idx,
@@ -194,96 +194,41 @@ def _rects_candidate(scene: SceneData, o, d, time, tmin, tmax):
     )
 
 
-# ---------------------------------------------------------------------------
-# BVH traversal (skip-link, lock-step over the wavefront)
-# ---------------------------------------------------------------------------
-
-
-def bvh_traverse(scene: SceneData, root, o, d, tmin, t_init, any_hit: bool = False):
-    """Walk one mesh's threaded BVH for a whole wavefront.
-
-    Every lane holds a single int32 cursor; per step: gather node, slab test
-    (bounded by the lane's current best t), masked Möller-Trumbore on leaf
-    primitives, advance cursor to hit_link/miss_link. Lanes finish by setting
-    cursor = -1; the loop ends when all lanes are done. This replaces the
-    reference's 50-entry traversal stack (RAccel.h:377-560) with a stackless
-    walk that is SIMD-coherent by construction.
-
-    Returns (t_best [N], prim_best [N] (-1 = miss), beta [N], gamma [N]).
-    """
-    n = o.shape[0]
-    inv_d = 1.0 / d  # IEEE inf handling gives correct slab behavior
-    node0 = jnp.full((n,), root, jnp.int32)
-    state = (
-        node0,
-        t_init,
-        jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
+def _mesh_local_ray(scene: SceneData, mi: int, o: V3, d: V3, time):
+    if not scene.has_motion:
+        return o, d, None
+    translation, scaling, rotation = xf.eval_transform(
+        scene.xf_times,
+        scene.xf_translate,
+        scene.xf_scale,
+        scene.xf_rotate,
+        scene.xf_nkeys,
+        scene.mesh_xf[mi],
+        time,
     )
-
-    def cond(s):
-        return jnp.any(s[0] >= 0)
-
-    def body(s):
-        node, t_best, prim_best, beta_b, gamma_b = s
-        active = node >= 0
-        nd = jnp.maximum(node, 0)
-        bmin = scene.bvh_min[nd]
-        bmax = scene.bvh_max[nd]
-        meta = scene.bvh_meta[nd]
-        hit_link, miss_link, prim = meta[:, 0], meta[:, 1], meta[:, 2]
-        box_hit, _, _ = aabb_intersect(o, inv_d, tmin, t_best, bmin, bmax)
-        box_hit = box_hit & active
-        is_leaf = prim >= 0
-        pr = jnp.maximum(prim, 0)
-        t, hit, beta, gamma, _ = triangle_intersect(
-            o, d, tmin, t_best, scene.tri_v0[pr], scene.tri_v1[pr], scene.tri_v2[pr]
-        )
-        tri_hit = hit & box_hit & is_leaf
-        t_best = jnp.where(tri_hit, t, t_best)
-        prim_best = jnp.where(tri_hit, pr, prim_best)
-        beta_b = jnp.where(tri_hit, beta, beta_b)
-        gamma_b = jnp.where(tri_hit, gamma, gamma_b)
-        nxt = jnp.where(box_hit, hit_link, miss_link)
-        if any_hit:
-            nxt = jnp.where(prim_best >= 0, -1, nxt)
-        node = jnp.where(active, nxt, -1)
-        return node, t_best, prim_best, beta_b, gamma_b
-
-    node, t_best, prim_best, beta, gamma = jax.lax.while_loop(cond, body, state)
-    return t_best, prim_best, beta, gamma
+    o_l = xf.to_local_point(o, translation, scaling, rotation)
+    d_l = xf.to_local_vector(d, translation, scaling, rotation)
+    return o_l, d_l, rotation
 
 
-def _mesh_candidate(scene: SceneData, o, d, time, tmin, tmax):
+def _mesh_candidate(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
     """Intersect all meshes (sequential host loop over the static mesh count;
-    each mesh has its own local space + BVH, mirroring Mesh::intersect,
-    RMesh.h:62-81)."""
+    each mesh has its own local space, mirroring Mesh::intersect,
+    RMesh.h:62-81). Uses the dense cluster traversal (mesh_intersect.py)."""
+    from .mesh_intersect import mesh_intersect_clusters
+
     n = o.shape[0]
-    t_best = jnp.where(jnp.ones((n,), bool), INF, INF)
+    t_best = jnp.full((n,), INF)
     prim_best = jnp.full((n,), -1, jnp.int32)
     beta_best = jnp.zeros((n,), jnp.float32)
     gamma_best = jnp.zeros((n,), jnp.float32)
-    rot_best: Optional[jnp.ndarray] = None
+    rot_best = None
 
     for mi in range(scene.n_meshes):
-        if scene.has_motion:
-            translation, scaling, rotation = xf.eval_transform(
-                scene.xf_times,
-                scene.xf_translate,
-                scene.xf_scale,
-                scene.xf_rotate,
-                scene.xf_nkeys,
-                scene.mesh_xf[mi],
-                time,
-            )
-            o_l = xf.to_local_point(o, translation, scaling, rotation)
-            d_l = xf.to_local_vector(d, translation, scaling, rotation)
-        else:
-            o_l, d_l, rotation = o, d, None
+        o_l, d_l, rotation = _mesh_local_ray(scene, mi, o, d, time)
         t_cap = jnp.minimum(t_best, tmax)
-        t_m, prim_m, beta_m, gamma_m = bvh_traverse(
-            scene, scene.mesh_bvh_root[mi], o_l, d_l, tmin, t_cap
+        t_m, prim_m, beta_m, gamma_m, _ = mesh_intersect_clusters(
+            scene, mi, o_l, d_l, tmin, t_cap
         )
         closer = prim_m >= 0
         t_best = jnp.where(closer, t_m, t_best)
@@ -291,36 +236,39 @@ def _mesh_candidate(scene: SceneData, o, d, time, tmin, tmax):
         beta_best = jnp.where(closer, beta_m, beta_best)
         gamma_best = jnp.where(closer, gamma_m, gamma_best)
         if scene.has_motion:
+            from ..ops.quaternion import Quat
+
             if rot_best is None:
-                rot_best = jnp.broadcast_to(
-                    jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32), (n, 4)
+                rot_best = Quat(
+                    jnp.ones((n,), jnp.float32),
+                    V3(*(jnp.zeros((n,), jnp.float32),) * 3),
                 )
-            rot_best = jnp.where(closer[:, None], rotation, rot_best)
+            rot_best = Quat(
+                jnp.where(closer, rotation.w, rot_best.w),
+                vwhere(closer, rotation.v, rot_best.v),
+            )
 
     valid = prim_best >= 0
     pr = jnp.maximum(prim_best, 0)
     alpha = 1.0 - beta_best - gamma_best
     # shading normal: barycentric-interpolated vertex normals when present,
-    # else normalized geometric normal (RMesh.h:308-328)
-    v0, v1, v2 = scene.tri_v0[pr], scene.tri_v1[pr], scene.tri_v2[pr]
-    gnormal = jnp.cross(v1 - v0, v2 - v0)
-    n_interp = (
-        scene.tri_n0[pr] * alpha[:, None]
-        + scene.tri_n1[pr] * beta_best[:, None]
-        + scene.tri_n2[pr] * gamma_best[:, None]
-    )
-    n_local = jnp.where(
-        scene.tri_has_normals[pr][:, None],
-        normalize(n_interp),
-        normalize(gnormal),
-    )
+    # else normalized geometric normal (RMesh.h:308-328). All per-triangle
+    # data comes from ONE packed row gather (tri_meta_rows, see scene.py).
+    meta = scene.tri_meta_rows[pr]  # [N, 16]
+    n0 = V3(meta[:, 0], meta[:, 1], meta[:, 2])
+    n1 = V3(meta[:, 3], meta[:, 4], meta[:, 5])
+    n2 = V3(meta[:, 6], meta[:, 7], meta[:, 8])
+    has_n = meta[:, 9] > 0.5
+    mesh_idx = meta[:, 11].astype(jnp.int32)
+    gnormal = V3(meta[:, 12], meta[:, 13], meta[:, 14])  # precomputed unit
+    n_interp = n0 * alpha + n1 * beta_best + n2 * gamma_best
+    n_local = vwhere(has_n, normalize(n_interp), gnormal)
     if rot_best is not None:
-        from ..ops import quaternion as quat
+        from ..ops.quaternion import rotate_vector
 
-        normal = quat.rotate_vector(rot_best, n_local)
+        normal = rotate_vector(rot_best, n_local)
     else:
         normal = n_local
-    mesh_idx = scene.tri_mesh[pr]
     return (
         jnp.where(valid, t_best, INF),
         jnp.where(valid, scene.mesh_id0 + mesh_idx, -1),
@@ -335,8 +283,8 @@ def _mesh_candidate(scene: SceneData, o, d, time, tmin, tmax):
 # ---------------------------------------------------------------------------
 
 
-def scene_intersect(scene: SceneData, o, d, time, tmin, tmax) -> Hit:
-    """Closest hit for a wavefront. o, d: [N,3]; time: [N]; tmin: scalar;
+def scene_intersect(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> Hit:
+    """Closest hit for a wavefront. o, d: V3 of [N]; time: [N]; tmin: scalar;
     tmax: [N] (or scalar broadcastable)."""
     n = o.shape[0]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
@@ -346,7 +294,7 @@ def scene_intersect(scene: SceneData, o, d, time, tmin, tmax) -> Hit:
         jnp.full((n,), INF),
         jnp.full((n,), -1, jnp.int32),
         jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n, 3), jnp.float32),
+        V3(jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,))),
         jnp.ones((n,), jnp.float32),
     )
 
@@ -358,7 +306,7 @@ def scene_intersect(scene: SceneData, o, d, time, tmin, tmax) -> Hit:
             jnp.where(closer, t_c, t_b),
             jnp.where(closer, id_c.astype(jnp.int32), id_b),
             jnp.where(closer, mat_c.astype(jnp.int32), mat_b),
-            jnp.where(closer[:, None], n_c, n_b),
+            vwhere(closer, n_c, n_b),
             jnp.where(closer, cm_c, cm_b),
         )
 
@@ -383,7 +331,7 @@ def scene_intersect(scene: SceneData, o, d, time, tmin, tmax) -> Hit:
     )
 
 
-def scene_occluded(scene: SceneData, o, d, time, tmin, tmax) -> jnp.ndarray:
+def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> jnp.ndarray:
     """Any-hit shadow query (ShapeSet::doesIntersect). Returns bool [N]."""
     n = o.shape[0]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
@@ -393,13 +341,23 @@ def scene_occluded(scene: SceneData, o, d, time, tmin, tmax) -> jnp.ndarray:
     if scene.n_planes:
         o_l, d_l, _ = _rays_to_local(scene, scene.pln_xf, o, d, time)
         t_ns, _ = plane_intersect(
-            o_l, d_l, tmin, tmax[:, None], scene.pln_pos[None], scene.pln_normal[None]
+            o_l,
+            d_l,
+            tmin,
+            tmax[:, None],
+            from_aos(scene.pln_pos)[None, :],
+            from_aos(scene.pln_normal)[None, :],
         )
         occluded |= jnp.any(jnp.isfinite(t_ns), axis=1)
     if scene.n_spheres:
         o_l, d_l, _ = _rays_to_local(scene, scene.sph_xf, o, d, time)
         t_ns, _ = sphere_intersect(
-            o_l, d_l, tmin, tmax[:, None], scene.sph_center[None], scene.sph_radius[None]
+            o_l,
+            d_l,
+            tmin,
+            tmax[:, None],
+            from_aos(scene.sph_center)[None, :],
+            scene.sph_radius[None],
         )
         occluded |= jnp.any(jnp.isfinite(t_ns), axis=1)
     if scene.n_rects:
@@ -409,29 +367,19 @@ def scene_occluded(scene: SceneData, o, d, time, tmin, tmax) -> jnp.ndarray:
             d_l,
             tmin,
             tmax[:, None],
-            scene.rect_corner[None],
-            scene.rect_side1[None],
-            scene.rect_side2[None],
+            from_aos(scene.rect_corner)[None, :],
+            from_aos(scene.rect_side1)[None, :],
+            from_aos(scene.rect_side2)[None, :],
         )
         occluded |= jnp.any(jnp.isfinite(t_ns), axis=1)
+
+    from .mesh_intersect import mesh_intersect_clusters
+
     for mi in range(scene.n_meshes):
-        if scene.has_motion:
-            translation, scaling, rotation = xf.eval_transform(
-                scene.xf_times,
-                scene.xf_translate,
-                scene.xf_scale,
-                scene.xf_rotate,
-                scene.xf_nkeys,
-                scene.mesh_xf[mi],
-                time,
-            )
-            o_l = xf.to_local_point(o, translation, scaling, rotation)
-            d_l = xf.to_local_vector(d, translation, scaling, rotation)
-        else:
-            o_l, d_l = o, d
-        _, prim_m, _, _ = bvh_traverse(
+        o_l, d_l, _ = _mesh_local_ray(scene, mi, o, d, time)
+        _, prim_m, _, _, _ = mesh_intersect_clusters(
             scene,
-            scene.mesh_bvh_root[mi],
+            mi,
             o_l,
             d_l,
             tmin,
@@ -443,14 +391,22 @@ def scene_occluded(scene: SceneData, o, d, time, tmin, tmax) -> jnp.ndarray:
     return occluded
 
 
+def material_row(scene: SceneData, mat_ids):
+    """One packed row gather per lane: (kind [N]i32, color V3, param [N])."""
+    row = scene.mat_rows[jnp.maximum(mat_ids, 0)]  # [N, 8]
+    return (
+        row[:, 0].astype(jnp.int32),
+        V3(row[:, 1], row[:, 2], row[:, 3]),
+        row[:, 4],
+    )
+
+
 def material_emittance(scene: SceneData, mat_ids):
-    """emittance() per lane: color*power for emitters, black otherwise
+    """emittance() per lane as V3: color*power for emitters, black otherwise
     (RMaterial.h:530-555). mat_ids: [N] int32 (−1 allowed)."""
-    safe = jnp.maximum(mat_ids, 0)
-    kind = scene.mat_kind[safe]
-    color = scene.mat_color[safe]
-    power = scene.mat_param[safe]
     from ..ops.brdf import KIND_EMITTER
 
-    emit = color * power[:, None]
-    return jnp.where(((kind == KIND_EMITTER) & (mat_ids >= 0))[:, None], emit, 0.0)
+    kind, color, power = material_row(scene, mat_ids)
+    is_emit = (kind == KIND_EMITTER) & (mat_ids >= 0)
+    gain = jnp.where(is_emit, power, 0.0)
+    return color * gain

@@ -33,8 +33,10 @@ class RenderConfig:
     aspect_correction: bool = True  # stage 5+ RenderThread xu aspect fix
     # RNG seed for the whole frame
     seed: int = 1
-    # wavefront sizing: rays per device launch (pixels*spp chunked to this)
-    max_rays_per_pass: int = 1 << 20
+    # wavefront sizing: rays per device launch (pixels*spp chunked to this).
+    # 256k lanes keeps the cluster-expansion intermediates ([N, K1*16, 3]
+    # box gathers) comfortably inside HBM.
+    max_rays_per_pass: int = 1 << 18
 
 
 CONFIG_STAGE123 = RenderConfig(

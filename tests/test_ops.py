@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rayito_tpu.ops import mis, quaternion as quat, rng as rngo, vecmath as vm, warps
+from rayito_tpu.ops.vec3 import V3, to_aos, from_aos
 
 
 def _rand(shape, seed=0):
@@ -73,14 +74,14 @@ def test_concentric_disk_degenerate_center():
 
 def test_uniform_sphere_statistics():
     v = warps.uniform_to_sphere(_uniform01(8192, 5), _uniform01(8192, 6))
-    v = np.asarray(v)
+    v = np.asarray(to_aos(v))
     np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-5)
     assert np.abs(v.mean(axis=0)).max() < 0.03
 
 
 def test_cosine_hemisphere_statistics():
     v = warps.uniform_to_cosine_hemisphere(_uniform01(8192, 7), _uniform01(8192, 8))
-    v = np.asarray(v)
+    v = np.asarray(to_aos(v))
     assert (v[:, 2] >= 0).all()
     # E[cos theta] = 2/3 for pdf = cos/pi
     assert abs(v[:, 2].mean() - 2.0 / 3.0) < 0.01
@@ -88,7 +89,7 @@ def test_cosine_hemisphere_statistics():
 
 def test_uniform_hemisphere_statistics():
     v = np.asarray(
-        warps.uniform_to_hemisphere(_uniform01(8192, 9), _uniform01(8192, 10))
+        to_aos(warps.uniform_to_hemisphere(_uniform01(8192, 9), _uniform01(8192, 10)))
     )
     # reference maps u1 -> z directly, so z ~ U[0,1): E[z] = 1/2
     assert abs(v[:, 2].mean() - 0.5) < 0.02
@@ -97,7 +98,7 @@ def test_uniform_hemisphere_statistics():
 def test_cone_within_angle():
     ct_max = 0.8
     v = np.asarray(
-        warps.uniform_to_cone(_uniform01(4096, 11), _uniform01(4096, 12), ct_max)
+        to_aos(warps.uniform_to_cone(_uniform01(4096, 11), _uniform01(4096, 12), ct_max))
     )
     assert (v[:, 2] >= ct_max - 1e-5).all()
     pdf = float(warps.uniform_cone_pdf(jnp.float32(ct_max)))
@@ -138,9 +139,12 @@ def test_quaternion_rotation_matches_matrix():
     axis = rs.normal(size=3)
     axis /= np.linalg.norm(axis)
     angle = 1.234
-    q = quat.from_axis_angle(jnp.asarray(axis, jnp.float32), jnp.float32(angle))
+    q = quat.from_axis_angle(
+        V3(jnp.float32(axis[0]), jnp.float32(axis[1]), jnp.float32(axis[2])),
+        jnp.float32(angle),
+    )
     v = jnp.asarray(rs.normal(size=(16, 3)), jnp.float32)
-    out = np.asarray(quat.rotate_vector(q, v))
+    out = np.asarray(to_aos(quat.rotate_vector(q, from_aos(v))))
     # Rodrigues formula oracle
     k = axis
     vn = np.asarray(v)
@@ -153,38 +157,40 @@ def test_quaternion_rotation_matches_matrix():
 
 
 def test_quaternion_multiply_composition():
-    q1 = quat.from_axis_angle(jnp.array([0.0, 0.0, 1.0]), jnp.float32(0.7))
-    q2 = quat.from_axis_angle(jnp.array([0.0, 1.0, 0.0]), jnp.float32(0.4))
-    v = jnp.array([1.0, 2.0, 3.0])
+    q1 = quat.from_axis_angle(V3(0.0, 0.0, 1.0), jnp.float32(0.7))
+    q2 = quat.from_axis_angle(V3(0.0, 1.0, 0.0), jnp.float32(0.4))
+    v = V3(1.0, 2.0, 3.0)
     a = quat.rotate_vector(quat.multiply(q1, q2), v)
     b = quat.rotate_vector(q1, quat.rotate_vector(q2, v))
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(to_aos(a)), np.asarray(to_aos(b)), atol=1e-5)
 
 
 def test_quaternion_conjugate_inverts():
-    q = quat.from_axis_angle(jnp.array([1.0, 1.0, 0.0]), jnp.float32(0.9))
-    v = jnp.array([0.3, -0.2, 0.8])
+    q = quat.from_axis_angle(V3(1.0, 1.0, 0.0), jnp.float32(0.9))
+    v = V3(0.3, -0.2, 0.8)
     back = quat.rotate_vector(quat.conjugate(q), quat.rotate_vector(q, v))
-    np.testing.assert_allclose(np.asarray(back), np.asarray(v), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(to_aos(back)), np.asarray(to_aos(v)), atol=1e-6
+    )
+
+
+def _q4(q):
+    return np.array([float(q.w), float(q.v.x), float(q.v.y), float(q.v.z)])
 
 
 def test_nlerp_endpoints_and_slerp():
-    q1 = quat.from_axis_angle(jnp.array([0.0, 0.0, 1.0]), jnp.float32(0.0))
-    q2 = quat.from_axis_angle(jnp.array([0.0, 0.0, 1.0]), jnp.float32(np.pi / 2))
-    np.testing.assert_allclose(
-        np.asarray(quat.nlerp(q1, q2, jnp.float32(0.0))), np.asarray(q1), atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(quat.nlerp(q1, q2, jnp.float32(1.0))), np.asarray(q2), atol=1e-6
-    )
+    q1 = quat.from_axis_angle(V3(0.0, 0.0, 1.0), jnp.float32(0.0))
+    q2 = quat.from_axis_angle(V3(0.0, 0.0, 1.0), jnp.float32(np.pi / 2))
+    np.testing.assert_allclose(_q4(quat.nlerp(q1, q2, jnp.float32(0.0))), _q4(q1), atol=1e-6)
+    np.testing.assert_allclose(_q4(quat.nlerp(q1, q2, jnp.float32(1.0))), _q4(q2), atol=1e-6)
     # slerp midpoint of a 90° z-rotation is a 45° z-rotation
     mid = quat.slerp(q1, q2, jnp.float32(0.5))
-    expect = quat.from_axis_angle(jnp.array([0.0, 0.0, 1.0]), jnp.float32(np.pi / 4))
-    np.testing.assert_allclose(np.asarray(mid), np.asarray(expect), atol=1e-4)
+    expect = quat.from_axis_angle(V3(0.0, 0.0, 1.0), jnp.float32(np.pi / 4))
+    np.testing.assert_allclose(_q4(mid), _q4(expect), atol=1e-4)
 
 
 def test_euler_zyx():
     # pure z rotation
     q = quat.from_euler_zyx(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(np.pi / 2))
-    v = quat.rotate_vector(q, jnp.array([1.0, 0.0, 0.0]))
-    np.testing.assert_allclose(np.asarray(v), [0.0, 1.0, 0.0], atol=1e-6)
+    v = quat.rotate_vector(q, V3(1.0, 0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(to_aos(v)), [0.0, 1.0, 0.0], atol=1e-6)
