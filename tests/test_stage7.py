@@ -1,0 +1,202 @@
+"""Stage-7 capability tests: keyed TRS transforms, motion blur, demo scenes."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rayito_tpu as rt
+from rayito_tpu.models.camera import PerspectiveCamera
+from rayito_tpu.ops import transform as xfm
+from rayito_tpu.ops.vec3 import V3, to_aos
+from rayito_tpu.render.pathtracer import render_path
+from rayito_tpu.render.trace import scene_intersect
+from rayito_tpu.utils.config import RenderConfig
+
+
+def _xf_tables(tr):
+    """Compile a single Transform into the padded table format."""
+    s = rt.Scene()
+    s.add(rt.Sphere((0, 0, 0), 1.0, rt.DiffuseMaterial((1, 1, 1)), transform=tr))
+    sd = s.compile()
+    return sd
+
+
+def test_transform_key_interpolation_matches_reference_semantics():
+    """translate lerps; outside the key range pegs to end keys
+    (RMath.h:666-715, 850-884)."""
+    tr = rt.Transform(
+        times=[0.2, 0.8],
+        translations=[(0.0, 0.0, 0.0), (2.0, 4.0, -2.0)],
+        scales=[(1.0, 1.0, 1.0)] * 2,
+        rotations=[(1.0, 0.0, 0.0, 0.0)] * 2,
+    )
+    sd = _xf_tables(tr)
+    times = jnp.asarray([0.0, 0.2, 0.5, 0.8, 1.0], jnp.float32)
+    xf_id = jnp.full(times.shape, 1, jnp.int32)  # slot 0 is identity
+    t, s, r = xfm.eval_transform(
+        sd.xf_times, sd.xf_translate, sd.xf_scale, sd.xf_rotate, sd.xf_nkeys,
+        xf_id, times,
+    )
+    got = np.asarray(to_aos(t))
+    np.testing.assert_allclose(got[0], [0, 0, 0], atol=1e-6)  # pegged to first
+    np.testing.assert_allclose(got[1], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(got[2], [1, 2, -1], atol=1e-5)  # midpoint lerp
+    np.testing.assert_allclose(got[3], [2, 4, -2], atol=1e-6)
+    np.testing.assert_allclose(got[4], [2, 4, -2], atol=1e-6)  # pegged to last
+
+
+def test_transform_rotation_nlerp():
+    """Rotation interpolation is nlerp (RMath.h:705-715): the midpoint of a
+    90-degree z-rotation rotates by 45 degrees."""
+    import math
+
+    half = math.pi / 4  # half-angle of 90deg
+    tr = rt.Transform(
+        times=[0.0, 1.0],
+        translations=[(0.0, 0.0, 0.0)] * 2,
+        scales=[(1.0, 1.0, 1.0)] * 2,
+        rotations=[(1.0, 0.0, 0.0, 0.0), (math.cos(half), 0.0, 0.0, math.sin(half))],
+    )
+    sd = _xf_tables(tr)
+    t, s, r = xfm.eval_transform(
+        sd.xf_times, sd.xf_translate, sd.xf_scale, sd.xf_rotate, sd.xf_nkeys,
+        jnp.asarray([1], jnp.int32), jnp.asarray([0.5], jnp.float32),
+    )
+    from rayito_tpu.ops.quaternion import rotate_vector
+
+    v = rotate_vector(r, V3(jnp.ones(1), jnp.zeros(1), jnp.zeros(1)))
+    got = np.asarray(to_aos(v))[0]
+    c45 = np.cos(np.pi / 4)
+    np.testing.assert_allclose(got, [c45, c45, 0.0], atol=1e-4)
+
+
+def test_to_from_local_round_trip():
+    tr = rt.Transform(
+        times=[0.0],
+        translations=[(1.0, 2.0, 3.0)],
+        scales=[(2.0, 0.5, 1.5)],
+        rotations=[tuple(np.array([0.9, 0.1, 0.3, -0.2]) / np.linalg.norm([0.9, 0.1, 0.3, -0.2]))],
+    )
+    sd = _xf_tables(tr)
+    t, s, r = xfm.eval_transform(
+        sd.xf_times, sd.xf_translate, sd.xf_scale, sd.xf_rotate, sd.xf_nkeys,
+        jnp.asarray([1], jnp.int32), jnp.asarray([0.0], jnp.float32),
+    )
+    rs = np.random.default_rng(0)
+    p = V3(*(jnp.asarray(rs.normal(size=1), jnp.float32) for _ in range(3)))
+    back = xfm.from_local_point(xfm.to_local_point(p, t, s, r), t, s, r)
+    np.testing.assert_allclose(np.asarray(to_aos(back)), np.asarray(to_aos(p)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_moving_sphere_motion_blur():
+    """A sphere with keys at x=-2 (t=0) and x=+2 (t=1): rays at time 0 hit it
+    at -2, rays at time 1 at +2 (Sphere::intersect transforms the ray to
+    local space at ray time, RScene.h:397-404)."""
+    s = rt.Scene()
+    s.add(
+        rt.Sphere(
+            (0.0, 0.0, 0.0), 1.0, rt.DiffuseMaterial((1, 1, 1)),
+            transform=rt.Transform(
+                times=[0.0, 1.0],
+                translations=[(-2.0, 0.0, 0.0), (2.0, 0.0, 0.0)],
+                scales=[(1.0, 1.0, 1.0)] * 2,
+                rotations=[(1.0, 0.0, 0.0, 0.0)] * 2,
+            ),
+        )
+    )
+    sd = s.compile()
+    assert sd.has_motion
+    o = V3(jnp.asarray([-2.0, 2.0, -2.0, 2.0], jnp.float32),
+           jnp.zeros(4), jnp.full(4, -5.0, jnp.float32))
+    d = V3(jnp.zeros(4), jnp.zeros(4), jnp.ones(4))
+    time = jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32)
+    hit = scene_intersect(sd, o, d, time, 1e-4, jnp.full(4, 1e30, jnp.float32))
+    got = np.asarray(hit.valid)
+    assert got.tolist() == [True, False, False, True]
+    np.testing.assert_allclose(np.asarray(hit.t)[[0, 3]], 4.0, atol=1e-5)
+
+
+def test_scaled_sphere_intersect():
+    """Non-uniform scale: a unit sphere scaled (2,1,1) must be hit at x=±2."""
+    s = rt.Scene()
+    s.add(
+        rt.Sphere(
+            (0.0, 0.0, 0.0), 1.0, rt.DiffuseMaterial((1, 1, 1)),
+            transform=rt.Transform(
+                times=[0.0],
+                translations=[(0.0, 0.0, 0.0)],
+                scales=[(2.0, 1.0, 1.0)],
+                rotations=[(1.0, 0.0, 0.0, 0.0)],
+            ),
+        )
+    )
+    sd = s.compile()
+    o = V3(jnp.asarray([-5.0, -5.0], jnp.float32),
+           jnp.asarray([0.0, 0.0], jnp.float32),
+           jnp.asarray([0.0, 1.5], jnp.float32))
+    d = V3(jnp.ones(2), jnp.zeros(2), jnp.zeros(2))
+    hit = scene_intersect(sd, o, d, jnp.zeros(2), 1e-4, jnp.full(2, 1e30, jnp.float32))
+    assert bool(hit.valid[0]) and abs(float(hit.t[0]) - 3.0) < 1e-4  # hits x=-2
+    assert not bool(hit.valid[1])  # z=1.5 > minor radius 1: miss
+
+
+@pytest.mark.slow
+def test_stage7_scene1_renders():
+    from rayito_tpu.models.demo import STAGE7_CAMERA, stage7_scene1
+
+    scene = stage7_scene1().compile()
+    assert scene.has_motion
+    cam = PerspectiveCamera.make(
+        30.0, *STAGE7_CAMERA, focal_distance=16.0, lens_radius=0.0,
+        shutter_open=0.0, shutter_close=1.0,
+    )
+    cfg = RenderConfig(width=96, height=72, pixel_samples=2, light_samples=1,
+                      max_depth=3)
+    img = render_path(scene, cfg, cam)
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    assert img.max() > 0.1  # scene is lit
+
+
+@pytest.mark.slow
+def test_stage7_scene2_renders():
+    from rayito_tpu.models.demo import STAGE7_SCENE2_CAMERA, stage7_scene2
+
+    scene = stage7_scene2().compile()
+    cam = PerspectiveCamera.make(
+        30.0, *STAGE7_SCENE2_CAMERA, focal_distance=16.0,
+        shutter_open=0.0, shutter_close=1.0,
+    )
+    cfg = RenderConfig(width=96, height=72, pixel_samples=2, light_samples=1,
+                      max_depth=2)
+    img = render_path(scene, cfg, cam)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
+
+
+def test_dof_camera_rays():
+    """lens_radius > 0 perturbs ray origins on the lens disk and keeps the
+    focal plane sharp (RaytraceMain.cpp:237-264)."""
+    cam = PerspectiveCamera.make(
+        30.0, (0, 0, 0), (0, 0, 1), (0, 1, 0), focal_distance=10.0,
+        lens_radius=0.5,
+    )
+    n = 256
+    rs = np.random.default_rng(1)
+    lens_u = jnp.asarray(rs.random(n), jnp.float32)
+    lens_v = jnp.asarray(rs.random(n), jnp.float32)
+    xu = jnp.full(n, 0.5, jnp.float32)
+    yu = jnp.full(n, 0.5, jnp.float32)
+    o, d, t = cam.make_rays(xu, yu, lens_u, lens_v, jnp.zeros(n))
+    oa = np.asarray(to_aos(o))
+    da = np.asarray(to_aos(d))
+    # origins spread on the lens
+    assert oa[:, 0].std() > 0.05
+    # all rays converge at the focal point (0, 0, 10)
+    t_f = (10.0 - oa[:, 2]) / da[:, 2]
+    focus = oa + da * t_f[:, None]
+    np.testing.assert_allclose(focus[:, 0], 0.0, atol=1e-4)
+    np.testing.assert_allclose(focus[:, 1], 0.0, atol=1e-4)
