@@ -46,6 +46,23 @@ def _prim_bounds(v0, v1, v2):
     return bb_min, bb_max
 
 
+def bvh_prim_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
+    """DFS primitive order for clustering — native C++ builder when
+    available (utils/native.py), else the Python builder below. Either is a
+    valid midpoint-split BVH order; they may differ in tie-breaking."""
+    from ..utils.native import bvh_order as native_order
+
+    if v0.shape[0] == 0:
+        return np.zeros(0, np.int32)
+    order = native_order(
+        np.asarray(v0, np.float32), np.asarray(v1, np.float32),
+        np.asarray(v2, np.float32),
+    )
+    if order is not None:
+        return order
+    return build_bvh(v0, v1, v2).prim_order
+
+
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BuiltBvh:
     """Build over triangle soup. Returns threaded arrays; triangle data must be
     reordered by ``prim_order`` so leaves index contiguously."""
@@ -139,46 +156,4 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BuiltBvh:
 
     return BuiltBvh(
         nodes_min, nodes_max, hit_link, miss_link, prim, order.astype(i32), max_depth
-    )
-
-
-def flatten_mesh_bvhs(bvhs, tri_starts):
-    """Concatenate per-mesh BVHs into global arrays.
-
-    Links are offset by each BVH's node base; -1 sentinels are preserved.
-    Leaf prim indices are offset into the global (reordered) triangle arrays.
-    Returns (bvh_min [M,3], bvh_max [M,3], bvh_meta [M,3] int32, roots [n_mesh]).
-    bvh_meta columns: hit_link, miss_link, prim.
-    """
-    f32, i32 = np.float32, np.int32
-    if not bvhs:
-        return (
-            np.zeros((0, 3), f32),
-            np.zeros((0, 3), f32),
-            np.zeros((0, 3), i32),
-            np.zeros(0, i32),
-        )
-    mins, maxs, metas, roots = [], [], [], []
-    node_off = 0
-    for bvh, tri0 in zip(bvhs, tri_starts):
-        m = bvh.prim.shape[0]
-        shift = lambda link: np.where(link < 0, -1, link + node_off).astype(i32)
-        meta = np.stack(
-            [
-                shift(bvh.hit_link),
-                shift(bvh.miss_link),
-                np.where(bvh.prim < 0, -1, bvh.prim + tri0).astype(i32),
-            ],
-            axis=-1,
-        )
-        mins.append(bvh.nodes_min)
-        maxs.append(bvh.nodes_max)
-        metas.append(meta)
-        roots.append(node_off)
-        node_off += m
-    return (
-        np.concatenate(mins, axis=0),
-        np.concatenate(maxs, axis=0),
-        np.concatenate(metas, axis=0),
-        np.array(roots, i32),
     )

@@ -1,0 +1,195 @@
+"""Command-line renderer — the driver layer replacing the reference's Qt GUI.
+
+The reference exposes its knobs as Qt spinboxes (width/height/pixelSamples/
+lightSamples/rayDepth/exposure/gamma/FOV/focalDistance/lensRadius/shutter,
+Rayito_Stage7_QT/MainWindow.ui — SURVEY §2.10) and hard-codes demo scenes in
+button handlers. Here the same knobs are flags, the demo scenes are selected
+by name, and output is PPM (LDR, tone-mapped like the GUI) or PFM (HDR, the
+reference's WRITE_PFM switch).
+
+    python -m rayito_tpu.cli --scene stage6 --width 640 --height 480 \
+        --pixel-samples 4 --light-samples 2 --depth 3 -o out.ppm
+
+Extras beyond the reference: --checkpoint/--resume (progressive MC
+accumulation), --sharded (multi-chip tile sharding), structured scene/render
+stats on stderr, NaN/negative-pixel diagnostics (the GUI's blue/green
+coloring, as numbers — use --diagnostic-colors for the pixel version).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_scene(name: str, obj_path: str):
+    from .models import demo
+
+    scenes = {
+        "stage1": (demo.stage1_scene, demo.STAGE1_CAMERA, demo.STAGE1_FOV, "color"),
+        "stage2": (demo.stage2_scene, demo.STAGE23_CAMERA, demo.STAGE23_FOV, "direct"),
+        "stage3": (demo.stage3_scene, demo.STAGE23_CAMERA, demo.STAGE23_FOV, "direct"),
+        "stage4": (demo.stage3_scene, demo.STAGE23_CAMERA, demo.STAGE23_FOV, "direct"),
+        "stage5": (demo.stage5_scene, demo.STAGE5_CAMERA, 30.0, "path"),
+        "stage6": (
+            lambda: demo.stage6_scene(obj_path),
+            demo.STAGE6_CAMERA,
+            30.0,
+            "path",
+        ),
+        "stage7": (
+            lambda: demo.stage7_scene1(obj_path),
+            demo.STAGE7_CAMERA,
+            30.0,
+            "path",
+        ),
+        "stage7b": (
+            demo.stage7_scene2,
+            demo.STAGE7_SCENE2_CAMERA,
+            30.0,
+            "path",
+        ),
+    }
+    if name not in scenes:
+        raise SystemExit(f"unknown scene {name!r}; choose from {sorted(scenes)}")
+    builder, cam, fov, mode = scenes[name]
+    return builder(), cam, fov, mode
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rayito_tpu", description=__doc__)
+    p.add_argument("--scene", default="stage6",
+                   help="demo scene: stage1..stage7, stage7b")
+    p.add_argument("--obj", default="/root/reference/models/bumpy.obj",
+                   help="OBJ path for mesh scenes")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--pixel-samples", type=int, default=2,
+                   help="per-axis hint; total spp = hint^2 (GUI semantics)")
+    p.add_argument("--light-samples", type=int, default=1)
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--fov", type=float, default=None)
+    p.add_argument("--focal-distance", type=float, default=16.0)
+    p.add_argument("--lens-radius", type=float, default=0.0)
+    p.add_argument("--shutter", type=float, nargs=2, default=(0.0, 1.0),
+                   metavar=("OPEN", "CLOSE"))
+    p.add_argument("--exposure", type=float, default=0.0)
+    p.add_argument("--gamma", type=float, default=2.2)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("-o", "--output", default="out.ppm")
+    p.add_argument("--pfm", action="store_true", help="write HDR PFM (no tonemap)")
+    p.add_argument("--no-tonemap", action="store_true",
+                   help="write raw clamped radiance to the PPM")
+    p.add_argument("--diagnostic-colors", action="store_true",
+                   help="paint NaN pixels blue / negative pixels green")
+    p.add_argument("--checkpoint", default=None,
+                   help="progressive checkpoint file (.npz); resumes if present")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="save every N sample chunks")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the wavefront over all local devices")
+    args = p.parse_args(argv)
+
+    from .models.camera import PerspectiveCamera
+    from .utils.config import RenderConfig
+    from .utils.image import (
+        diagnose,
+        diagnostic_colors,
+        tone_map,
+        write_pfm,
+        write_ppm,
+    )
+
+    scene_builder, cam_spec, default_fov, mode = build_scene(args.scene, args.obj)
+    t0 = time.perf_counter()
+    scene = scene_builder.compile()
+    fov = args.fov if args.fov is not None else default_fov
+
+    from .utils.native import is_available as native_available
+
+    print(
+        f"[rayito_tpu] scene={args.scene} planes={scene.n_planes} "
+        f"spheres={scene.n_spheres} rects={scene.n_rects} "
+        f"meshes={scene.n_meshes} tris={scene.n_tris} lights={scene.n_lights} "
+        f"clusters={scene.cl_min.shape[0]} motion={scene.has_motion} "
+        f"native={'c++' if native_available() else 'python'} "
+        f"compile={time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        pixel_samples=args.pixel_samples,
+        light_samples=args.light_samples,
+        max_depth=args.depth,
+        gamma=args.gamma,
+        exposure=args.exposure,
+        seed=args.seed,
+    )
+
+    t1 = time.perf_counter()
+    if mode == "color":
+        from .render.integrator import render_color
+
+        img = render_color(scene, cfg, fov=fov, camera=cam_spec)
+        stats_line = ""
+    elif mode == "direct":
+        from .render.integrator import render_direct
+
+        img = render_direct(scene, cfg, fov=fov, camera=cam_spec)
+        stats_line = ""
+    else:
+        camera = PerspectiveCamera.make(
+            fov,
+            *cam_spec,
+            focal_distance=args.focal_distance,
+            lens_radius=args.lens_radius,
+            shutter_open=args.shutter[0],
+            shutter_close=args.shutter[1],
+        )
+        if args.sharded:
+            from .parallel.sharding import render_path_sharded
+
+            img = render_path_sharded(scene, cfg, camera)
+            stats_line = " (sharded)"
+        else:
+            from .render.progressive import render_progressive
+
+            img, stats = render_progressive(
+                scene,
+                cfg,
+                camera,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
+            )
+            stats_line = (
+                f" rays={stats.rays_traced / 1e6:.1f}M"
+                f" throughput={stats.mrays_per_sec:.2f} Mrays/s"
+            )
+
+    dt = time.perf_counter() - t1
+    diag = diagnose(img)
+    print(
+        f"[rayito_tpu] rendered {args.width}x{args.height} "
+        f"spp={cfg.pixel_samples ** 2} in {dt:.1f}s{stats_line} "
+        f"nan={diag['nan_pixels']} neg={diag['negative_pixels']}",
+        file=sys.stderr,
+    )
+
+    out = img
+    if args.diagnostic_colors:
+        out = diagnostic_colors(out)
+    if args.pfm:
+        write_pfm(args.output, out)
+    else:
+        if mode == "path" and not args.no_tonemap:
+            out = tone_map(out, args.exposure, args.gamma)
+        write_ppm(args.output, out)
+    print(f"[rayito_tpu] wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -27,6 +27,31 @@ from .scene import Material, TriangleMesh
 
 
 def load_obj(path: str, material: Material) -> Optional[TriangleMesh]:
+    # fast path: native C++ parser (utils/native.py); falls back to Python
+    from ..utils.native import parse_obj as native_parse
+
+    parsed = native_parse(path) if os_path_exists(path) else None
+    if parsed is not None:
+        vertices_a, normals_a, tri_idx, tri_nidx, face_ids = parsed
+        return TriangleMesh(
+            vertices=vertices_a,
+            indices=tri_idx,
+            material=material,
+            normals=normals_a,
+            normal_indices=tri_nidx if normals_a is not None else None,
+            face_ids=face_ids,
+        )
+    return load_obj_python(path, material)
+
+
+def os_path_exists(path: str) -> bool:
+    import os
+
+    return os.path.exists(path)
+
+
+def load_obj_python(path: str, material: Material) -> Optional[TriangleMesh]:
+    """Pure-Python reference implementation (also the no-native fallback)."""
     vertices: list = []
     normals: list = []
     # per-face lists of (vertex_idx, normal_idx) pairs

@@ -200,7 +200,7 @@ class Scene:
 
     # ------------------------------------------------------------------
     def compile(self, max_keys: Optional[int] = None) -> "SceneData":
-        from ..accel.bvh import build_bvh, flatten_mesh_bvhs
+        from ..accel.bvh import bvh_prim_order
         from ..accel.clusters import build_clusters
 
         # --- material table (dedup by object identity) ---
@@ -273,7 +273,6 @@ class Scene:
         mesh_xf = []
         mesh_tri_start = []
         mesh_tri_count = []
-        bvh_list = []
         cluster_list = []
         t_off = 0
         for mi, m in enumerate(self.meshes):
@@ -294,11 +293,10 @@ class Scene:
             else:
                 has_n = np.zeros(T, bool)
                 n0 = n1 = n2 = np.zeros((T, 3), f32)
-            # BVH over this mesh's triangles (local/object space); its DFS
-            # order also feeds the cluster cut (spatially coherent runs)
-            bvh = build_bvh(v0, v1, v2)
-            bvh_list.append(bvh)
-            order = bvh.prim_order
+            # BVH DFS order feeds the cluster cut (spatially coherent
+            # runs); built by the native C++ builder when present
+            # (utils/native.py), else the Python builder.
+            order = bvh_prim_order(v0, v1, v2)
             clusters = build_clusters(v0[order], v1[order], v2[order])
             cluster_list.append(clusters)
             tp = clusters.v0.shape[0]  # padded triangle count
@@ -334,10 +332,6 @@ class Scene:
             if parts:
                 return np.concatenate(parts, axis=0).astype(dtype)
             return np.zeros((0,) + shape_tail, dtype)
-
-        bvh_nodes_min, bvh_nodes_max, bvh_meta, mesh_bvh_root = flatten_mesh_bvhs(
-            bvh_list, mesh_tri_start
-        )
 
         # --- flatten cluster tables (device hot-path structure) ---
         cl_min_parts, cl_max_parts, sc_min_parts, sc_max_parts = [], [], [], []
@@ -479,10 +473,6 @@ class Scene:
             mesh_xf=dev(np.array(mesh_xf, i32)),
             mesh_tri_start=dev(np.array(mesh_tri_start, i32)),
             mesh_tri_count=dev(np.array(mesh_tri_count, i32)),
-            mesh_bvh_root=dev(mesh_bvh_root),
-            bvh_min=dev(bvh_nodes_min),
-            bvh_max=dev(bvh_nodes_max),
-            bvh_meta=dev(bvh_meta),
             cl_min=dev(cat(cl_min_parts, (3,))),
             cl_max=dev(cat(cl_max_parts, (3,))),
             sc_min=dev(cat(sc_min_parts, (3,))),
@@ -555,12 +545,6 @@ class SceneData:
     mesh_xf: jnp.ndarray
     mesh_tri_start: jnp.ndarray
     mesh_tri_count: jnp.ndarray
-    mesh_bvh_root: jnp.ndarray
-    # flattened BVH nodes (all meshes): skip-link threaded layout
-    # (reference/debug path; the production path is the cluster tables)
-    bvh_min: jnp.ndarray
-    bvh_max: jnp.ndarray
-    bvh_meta: jnp.ndarray  # [n, 3] int32: (hit_link, miss_link, prim|-1)
     # cluster tables (device hot path, accel/clusters.py)
     cl_min: jnp.ndarray  # [C, 3]
     cl_max: jnp.ndarray

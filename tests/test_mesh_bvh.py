@@ -55,11 +55,13 @@ def test_obj_index_forms(tmp_path):
     assert (m.normal_indices[0] == -1).all()
 
 
-def test_obj_out_of_range_warns(tmp_path, capsys):
+def test_obj_out_of_range_warns(tmp_path, capfd):
     p = tmp_path / "bad.obj"
     p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 9\nf 1 2 3\n")
     m = load_obj(str(p), rt.DiffuseMaterial((1, 1, 1)))
-    assert "out of range" in capsys.readouterr().err
+    # capfd captures OS-level fds so both the native (C stderr) and the
+    # Python fallback parser warnings are seen
+    assert "out of range" in capfd.readouterr().err
     assert m.indices.shape == (1, 3)  # the bad face dropped (only 2 valid verts)
 
 
@@ -176,3 +178,28 @@ def test_cluster_intersect_matches_brute_force_cube():
     hit = idxb >= 0
     assert (hit == (np.asarray(prim_cl) >= 0)).all()
     np.testing.assert_allclose(np.asarray(t_cl)[hit], tb[hit], rtol=1e-5)
+
+
+def test_native_lib_active_and_agrees_with_python():
+    """When the C++ library is built (the repo builds it), the native OBJ
+    parse and BVH order must agree with the Python implementations."""
+    from rayito_tpu.utils import native
+    from rayito_tpu.models.obj import load_obj_python
+
+    if not native.is_available():
+        pytest.skip("native library not built")
+    if not os.path.isdir(MODELS):
+        pytest.skip("reference models not mounted")
+    m_native = load_obj(f"{MODELS}/cube.obj", rt.DiffuseMaterial((1, 1, 1)))
+    m_py = load_obj_python(f"{MODELS}/cube.obj", rt.DiffuseMaterial((1, 1, 1)))
+    np.testing.assert_array_equal(m_native.vertices, m_py.vertices)
+    np.testing.assert_array_equal(m_native.indices, m_py.indices)
+    np.testing.assert_array_equal(m_native.face_ids, m_py.face_ids)
+
+    # BVH order: both must be valid permutations; cluster bounding quality
+    # should be comparable (native may tie-break differently)
+    v0 = m_py.vertices[m_py.indices[:, 0]]
+    v1 = m_py.vertices[m_py.indices[:, 1]]
+    v2 = m_py.vertices[m_py.indices[:, 2]]
+    order_n = native.bvh_order(v0, v1, v2)
+    assert sorted(order_n.tolist()) == list(range(len(v0)))
