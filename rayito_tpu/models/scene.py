@@ -351,6 +351,25 @@ class Scene:
             cl_off += cl.n_clusters
             sc_off += cl.n_supers
 
+        # --- per-mesh triangle-area CDF (light sampling, RMesh.h:105-186).
+        # The reference picks face ~ area then triangle-in-fan ~ area; the
+        # product is exactly triangle ~ area, so a flat triangle CDF is
+        # distribution-identical. Areas are LOCAL-space (scaling quirk,
+        # RMesh.h:199-200 TODO preserved). Padding triangles are degenerate
+        # (zero area) and can never be selected.
+        cdf_parts = []
+        mesh_total_area = []
+        for cl in cluster_list:
+            e1 = cl.v1 - cl.v0
+            e2 = cl.v2 - cl.v0
+            areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            cdf = np.cumsum(areas.astype(np.float64)).astype(f32)
+            cdf_parts.append(cdf)
+            mesh_total_area.append(cdf[-1] if cdf.size else 0.0)
+        tri_area_cdf = (
+            np.concatenate(cdf_parts, 0) if cdf_parts else np.zeros(0, f32)
+        )
+
         # per-triangle packed meta rows [T, 16]: shading normals (9),
         # has_normals, face_id, mesh_id — fetched per winning lane with one
         # fast row gather (ids as f32: exact up to 2^24)
@@ -473,6 +492,8 @@ class Scene:
             mesh_xf=dev(np.array(mesh_xf, i32)),
             mesh_tri_start=dev(np.array(mesh_tri_start, i32)),
             mesh_tri_count=dev(np.array(mesh_tri_count, i32)),
+            tri_area_cdf=dev(tri_area_cdf),
+            mesh_total_area=dev(np.array(mesh_total_area, f32)),
             cl_min=dev(cat(cl_min_parts, (3,))),
             cl_max=dev(cat(cl_max_parts, (3,))),
             sc_min=dev(cat(sc_min_parts, (3,))),
@@ -545,6 +566,8 @@ class SceneData:
     mesh_xf: jnp.ndarray
     mesh_tri_start: jnp.ndarray
     mesh_tri_count: jnp.ndarray
+    tri_area_cdf: jnp.ndarray  # [T] per-mesh cumulative triangle areas
+    mesh_total_area: jnp.ndarray  # [n_mesh] local-space surface area
     # cluster tables (device hot path, accel/clusters.py)
     cl_min: jnp.ndarray  # [C, 3]
     cl_max: jnp.ndarray

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..models.scene import LIGHT_RECT, LIGHT_SPHERE, SceneData
+from ..models.scene import LIGHT_MESH, LIGHT_RECT, LIGHT_SPHERE, SceneData
 from ..ops import transform as xfm
 from ..ops.intersect import sphere_intersect
 from ..ops.vec3 import (
@@ -136,8 +136,60 @@ def sample_light(scene: SceneData, li: int, ref_pos: V3, ref_normal: V3, time,
         pdf = jnp.where(facing, pdf, 0.0)
         return pos, nrm, pdf
 
+    elif kind == LIGHT_MESH:
+        return _sample_mesh_light(scene, idx, ref_pos, time, u1, u2, u3)
+
     else:
-        raise NotImplementedError("mesh ShapeLights: pending face-CDF tables")
+        raise NotImplementedError(f"unknown light kind {kind}")
+
+
+def _sample_mesh_light(scene: SceneData, mi: int, ref_pos: V3, time, u1, u2, u3):
+    """Mesh ShapeLight sampling (Mesh::sampleSurface, RMesh.h:131-186):
+    triangle ~ area via the per-mesh CDF, uniform barycentric point,
+    pdf = dist^2 * (1/totalArea) / |cos| with LOCAL-space area (scaling
+    quirk preserved, RMesh.h:199-200). ShapeLight discards backfacing
+    samples (RLight.h:305-309)."""
+    from ..accel.clusters import TRI_PER_CLUSTER
+
+    tri0, _ = scene.mesh_tri_ranges[mi]
+    cl0, n_cl = scene.mesh_cl_ranges[mi]
+    n_tri_padded = n_cl * TRI_PER_CLUSTER
+    cdf = scene.tri_area_cdf[tri0 : tri0 + n_tri_padded]
+    total = scene.mesh_total_area[mi]
+    # triangle selection: first cum > u3*total (upper_bound semantics,
+    # RMesh.h:146-157); zero-area padding can never be selected
+    tri_rel = jnp.searchsorted(cdf, u3 * total, side="right").astype(jnp.int32)
+    tri_rel = jnp.minimum(tri_rel, n_tri_padded - 1)
+    # fetch the triangle from the packed row table
+    cl_sel = tri_rel // TRI_PER_CLUSTER
+    j_sel = tri_rel - cl_sel * TRI_PER_CLUSTER
+    wrow = scene.tri_rows[cl0 + cl_sel]
+    cols9 = j_sel[:, None] + jnp.arange(9, dtype=jnp.int32)[None, :] * TRI_PER_CLUSTER
+    c = jnp.take_along_axis(wrow, cols9, axis=1)
+    p0 = V3(c[:, 0], c[:, 1], c[:, 2])
+    p1 = V3(c[:, 3], c[:, 4], c[:, 5])
+    p2 = V3(c[:, 6], c[:, 7], c[:, 8])
+    from ..ops.warps import uniform_to_barycentric_triangle
+
+    alpha, beta = uniform_to_barycentric_triangle(u1, u2)
+    gamma = 1.0 - alpha - beta
+    pos_local = p0 * alpha + p1 * beta + p2 * gamma
+    nrm_local = cross(p1 - p0, p2 - p0)
+
+    translation, scaling, rotation = _eval_lane_xf(scene, scene.mesh_xf[mi], time)
+    pos = xfm.from_local_point(pos_local, translation, scaling, rotation)
+    nrm = normalize(xfm.from_local_normal(nrm_local, translation, scaling, rotation))
+    to_surf = ref_pos - pos
+    sapdf = 1.0 / jnp.maximum(total, 1e-37)
+    pdf = (
+        dot(to_surf, to_surf)
+        * sapdf
+        / jnp.maximum(jnp.abs(dot(normalize(to_surf), nrm)), 1e-37)
+    )
+    # ShapeLight wrapper: reject samples facing away from the reference point
+    facing = dot(nrm, to_surf) >= 0.0
+    pdf = jnp.where(facing, pdf, 0.0)
+    return pos, nrm, pdf
 
 
 def light_intersect_pdf(scene: SceneData, li: int, ray_o: V3, ray_d: V3, t,
@@ -184,8 +236,19 @@ def light_intersect_pdf(scene: SceneData, li: int, ray_o: V3, ray_d: V3, t,
         pdf_out = uniform_cone_pdf(cos_theta_max)
         return jnp.where(inside, pdf_in, pdf_out)
 
+    elif kind == LIGHT_MESH:
+        # Mesh::pdfSA (RMesh.h:188-197): dist^2 / (totalArea * |cos|)
+        surf_pos = ray_o + ray_d * t
+        to_surf = ray_o - surf_pos
+        total = scene.mesh_total_area[idx]
+        return (
+            dot(to_surf, to_surf)
+            / jnp.maximum(total, 1e-37)
+            / jnp.maximum(jnp.abs(dot(normalize(to_surf), hit_normal)), 1e-37)
+        )
+
     else:
-        raise NotImplementedError("mesh ShapeLights: pending face-CDF tables")
+        raise NotImplementedError(f"unknown light kind {kind}")
 
 
 def light_emitted(scene: SceneData, li: int) -> V3:

@@ -200,3 +200,44 @@ def test_dof_camera_rays():
     focus = oa + da * t_f[:, None]
     np.testing.assert_allclose(focus[:, 0], 0.0, atol=1e-4)
     np.testing.assert_allclose(focus[:, 1], 0.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_mesh_shape_light():
+    """A mesh wrapped as a ShapeLight illuminates a lambert plane — the
+    MAKE_OBJ_A_MESH_LIGHT capability (Rayito_Stage7_QT/MainWindow.cpp:195-199).
+    Validated against f64 quadrature of the direct integral."""
+    from rayito_tpu.models.demo import make_cube
+
+    albedo = 0.8
+    power = 5.0
+    s = rt.Scene()
+    s.add(rt.Plane((0, 0, 0), (0, 1, 0), rt.DiffuseMaterial((albedo,) * 3)))
+    cube = make_cube(rt.DiffuseMaterial((1, 1, 1)))
+    cube.transform = rt.Transform(times=[0.0], translations=[(-0.5, 3.0, -0.5)])
+    s.add(rt.ShapeLight(cube, (1.0, 1.0, 1.0), power))
+    scene = s.compile()
+    assert scene.light_kinds_host == (2,)
+
+    cam = PerspectiveCamera.make(30.0, (3.0, 6.0, 0.001), (3.0, 0.0, 0.0),
+                                 (0.0, 0.0, -1.0))
+    cfg = RenderConfig(width=24, height=24, pixel_samples=6, light_samples=2,
+                      max_depth=1, aspect_correction=False)
+    img = render_path(scene, cfg, cam)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    got = img[10:14, 10:14, 0].mean()
+
+    # f64 quadrature: direct illumination at the plane point under the camera
+    # (x=3, z=0) from the cube's downward face y=3 (x,z in [-0.5, 0.5]);
+    # other faces are backfacing (rejected) or edge-on (cos ~ 0)
+    res = 600
+    u = (np.arange(res) + 0.5) / res - 0.5
+    xx, zz = np.meshgrid(u, u, indexing="ij")
+    px = np.array([3.0, 0.0, 0.0])
+    d = np.stack([xx, np.full_like(xx, 3.0), zz], -1) - px
+    r2 = (d * d).sum(-1)
+    dn = d / np.sqrt(r2)[..., None]
+    cos_s = dn[..., 1]
+    cos_l = np.abs(-dn[..., 1])
+    L = power * (albedo / np.pi) * ((cos_s * cos_l / r2).sum() * (1.0 / res**2))
+    assert abs(got - L) / L < 0.15, (got, L)
