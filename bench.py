@@ -34,22 +34,33 @@ def main():
         light_samples=1,
         max_depth=3,
         aspect_correction=True,
+        max_rays_per_pass=1 << 17,  # 131k-lane row bands: best measured
+        # throughput (larger waves hit HBM pressure from [N, K] intermediates)
     )
     scene = stage6_scene().compile()
     cam = PerspectiveCamera.make(
         30.0, *STAGE6_CAMERA, focal_distance=16.0, lens_radius=0.0
     )
 
-    si = jnp.arange(1, dtype=jnp.int32)  # one sample-chunk per launch (256k lanes)
-    # warmup / compile
-    img = _render_path_pass(scene, cfg, cam, si)
-    img.block_until_ready()
+    si = jnp.arange(1, dtype=jnp.int32)  # one sample per launch; row bands
+    band = min(height, cfg.max_rays_per_pass // width)
+    # warmup / compile (row0 is traced: one executable covers all bands)
+    img = _render_path_pass(scene, cfg, cam, si, 0, band)
+    _ = float(img.sum())
 
     frames = 3
     t0 = time.perf_counter()
+    outs = []
     for _ in range(frames):
-        img = _render_path_pass(scene, cfg, cam, si)
-    img.block_until_ready()
+        for r0 in range(0, height, band):
+            outs.append(
+                _render_path_pass(
+                    scene, cfg, cam, si, min(r0, height - band), band
+                )
+            )
+    # one hard sync at the end (block_until_ready does not reliably block
+    # through the axon relay; a scalar readback does)
+    _ = float(outs[-1].sum() + outs[0].sum())
     dt = (time.perf_counter() - t0) / frames
 
     lanes = width * height * int(si.shape[0])

@@ -256,3 +256,44 @@ def light_emitted(scene: SceneData, li: int) -> V3:
     c = scene.light_color[li]
     p = scene.light_power[li]
     return V3(c[0] * p, c[1] * p, c[2] * p)
+
+
+def light_hit_analytic(scene: SceneData, li: int, o: V3, d: V3, time, tmin):
+    """Direct ray-vs-light intersection for rect/sphere lights (local-space,
+    motion-aware). Lets the NEE BRDF-side replace a full scene intersect with
+    (analytic light hit + any-hit occlusion) — semantically the reference's
+    'full intersect, hit shape == light' check (RaytraceMain.cpp:419-424)
+    since the light is the nearest hit iff it is hit and nothing is closer.
+
+    Returns (t [N], normal V3, hit [N]) or None for mesh lights (caller must
+    fall back to the full intersect)."""
+    from ..ops.intersect import rect_intersect, sphere_intersect
+    from ..ops.vec3 import normalize as vnormalize
+
+    kind = scene.light_kinds_host[li]
+    idx = scene.light_indices_host[li]
+    n = o.shape[0]
+    tmax = jnp.full((n,), 1.0e30, jnp.float32)
+    if kind == LIGHT_RECT:
+        translation, scaling, rotation = _eval_lane_xf(
+            scene, scene.rect_xf[idx], time
+        )
+        o_l = xfm.to_local_point(o, translation, scaling, rotation)
+        d_l = xfm.to_local_vector(d, translation, scaling, rotation)
+        corner = _const3(scene.rect_corner[idx]).broadcast_to((n,))
+        s1 = _const3(scene.rect_side1[idx]).broadcast_to((n,))
+        s2 = _const3(scene.rect_side2[idx]).broadcast_to((n,))
+        t, hit, nrm_l = rect_intersect(o_l, d_l, tmin, tmax, corner, s1, s2)
+        nrm = xfm.from_local_normal(nrm_l, translation, scaling, rotation)
+        return t, nrm, hit
+    elif kind == LIGHT_SPHERE:
+        translation, scaling, rotation = _eval_lane_xf(scene, scene.sph_xf[idx], time)
+        o_l = xfm.to_local_point(o, translation, scaling, rotation)
+        d_l = xfm.to_local_vector(d, translation, scaling, rotation)
+        center = _const3(scene.sph_center[idx]).broadcast_to((n,))
+        t, hit = sphere_intersect(o_l, d_l, tmin, tmax, center, scene.sph_radius[idx])
+        t_safe = jnp.where(hit, t, 0.0)
+        nrm_l = vnormalize(o_l + d_l * t_safe - center)
+        nrm = xfm.from_local_normal(nrm_l, translation, scaling, rotation)
+        return t, nrm, hit
+    return None

@@ -265,6 +265,16 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
     prim_best = jnp.take_along_axis(prim_dense, j_star[:, None], axis=1)[:, 0]
 
     hit_mask = jnp.isfinite(t_best) & (t_best < tmax) & (prim_best >= 0)
+    if any_hit:
+        # occlusion queries only need the boolean: skip winner resolution
+        zero = jnp.zeros((n,), jnp.float32)
+        return (
+            jnp.where(hit_mask, t_best, INF),
+            jnp.where(hit_mask, prim_best, -1),
+            zero,
+            zero,
+            overflow,
+        )
     # barycentrics of the winning triangle: one packed row gather + re-test
     pr_safe = jnp.maximum(prim_best, 0)
     rel = pr_safe - tri0

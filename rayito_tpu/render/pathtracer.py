@@ -221,22 +221,62 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                 )
                 acc = acc + emitted * cmod_color * gain_l
 
-                # --- BRDF-sampled direction toward the same light
+                # --- BRDF-sampled direction toward the same light.
+                # "Full intersect, hit shape == the chosen light"
+                # (RaytraceMain.cpp:419-424) is equivalent to: the light is
+                # hit analytically AND nothing else is closer — so when no
+                # mesh lights are present, one cheap analytic hit + one
+                # any-hit occlusion replaces the full nearest-hit query.
                 bsu, bsv = rngo.cmj_sample_2d(fsi, ps * ls, ps * ls, perm_brdf)
                 b_in, f_b, pdf_b = sample_sa(kind, exponent, outgoing, normal, bsu, bsv)
                 ok_b = nee_lane & (pdf_b > 0.0) & (f_b > 0.0)
-                sh = scene_intersect(
-                    scene,
-                    position,
-                    -b_in,
-                    time,
-                    tmin,
-                    jnp.where(ok_b, RAY_TMAX, tmin),
-                )
-                hit_light = ok_b & sh.valid & (sh.shape_id == chosen_sid)
+                analytic = all(
+                    k in (0, 1) for k in scene.light_kinds_host
+                )  # LIGHT_RECT / LIGHT_SPHERE
+                if analytic:
+                    hits = [
+                        L.light_hit_analytic(scene, li, position, -b_in, time, tmin)
+                        for li in range(n_lights)
+                    ]
+                    t_l = _select_by_light(
+                        jnp.stack([hh[0] for hh in hits]), light_idx
+                    )
+                    n_l = _select_v3_by_light(
+                        V3(
+                            jnp.stack([hh[1].x for hh in hits]),
+                            jnp.stack([hh[1].y for hh in hits]),
+                            jnp.stack([hh[1].z for hh in hits]),
+                        ),
+                        light_idx,
+                    )
+                    l_hit = _select_by_light(
+                        jnp.stack([hh[2] for hh in hits]), light_idx
+                    )
+                    ok_b = ok_b & l_hit
+                    blocked = scene_occluded(
+                        scene,
+                        position,
+                        -b_in,
+                        time,
+                        tmin,
+                        jnp.where(ok_b, jnp.where(l_hit, t_l, 0.0) - tmin, 0.0),
+                    )
+                    hit_light = ok_b & ~blocked
+                    sh_t, sh_n = t_l, n_l
+                else:
+                    sh = scene_intersect(
+                        scene,
+                        position,
+                        -b_in,
+                        time,
+                        tmin,
+                        jnp.where(ok_b, RAY_TMAX, tmin),
+                    )
+                    hit_light = ok_b & sh.valid & (sh.shape_id == chosen_sid)
+                    sh_t, sh_n = sh.t, sh.normal
                 lpdf_b = [
                     L.light_intersect_pdf(
-                        scene, li, position, -b_in, sh.t, sh.normal, time
+                        scene, li, position, -b_in, sh_t, sh_n, time
                     )
                     for li in range(n_lights)
                 ]
@@ -283,17 +323,23 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
     return result
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "rows"))
 def _render_path_pass(scene: SceneData, config: RenderConfig, camera: PerspectiveCamera,
-                      si_chunk):
-    """All pixels × the pixel-sample indices in si_chunk; returns SUM image
-    [H, W, 3] (AoS only at this output boundary)."""
+                      si_chunk, row0=0, rows: int = 0):
+    """Pixel rows [row0, row0+rows) × the pixel-sample indices in si_chunk;
+    returns the SUM image [rows, W, 3] (AoS only at this output boundary).
+    rows=0 means the full height; row0 may be a traced scalar (bands of the
+    same height share one compiled executable)."""
     w, h = config.width, config.height
+    if rows == 0:
+        rows = h
     n_si = si_chunk.shape[0]
-    px, py = _pixel_grid(w, h)
+    px, py = _pixel_grid(w, rows)
+    py = py + jnp.asarray(row0, jnp.int32)
     px = jnp.tile(px, n_si)
     py = jnp.tile(py, n_si)
-    si = jnp.repeat(si_chunk.astype(jnp.int32), w * h)
+    si = jnp.repeat(si_chunk.astype(jnp.int32), w * rows)
+    h = rows
     ps = config.pixel_samples
     seed = np.uint32(config.seed)
 
@@ -323,13 +369,38 @@ def _render_path_pass(scene: SceneData, config: RenderConfig, camera: Perspectiv
 
 
 def render_path(scene: SceneData, config: RenderConfig, camera: PerspectiveCamera):
-    """Stage-5/6/7 path-traced render (box-filtered mean of spp² samples),
-    chunked to config.max_rays_per_pass rays per device launch."""
+    """Stage-5/6/7 path-traced render (box-filtered mean of spp² samples).
+
+    Waves are chunked to config.max_rays_per_pass lanes per device launch —
+    over sample indices first, then over pixel-row bands when a single
+    sample still exceeds the budget (large frames: keeps the traversal's
+    [N, K] intermediates inside comfortable HBM headroom)."""
     spp_total = config.pixel_samples * config.pixel_samples
-    n_pix = config.width * config.height
-    chunk = max(1, min(spp_total, config.max_rays_per_pass // n_pix))
-    acc = np.zeros((config.height, config.width, 3), np.float32)
-    for s0 in range(0, spp_total, chunk):
-        si = jnp.arange(s0, min(s0 + chunk, spp_total), dtype=jnp.int32)
-        acc += np.asarray(_render_path_pass(scene, config, camera, si))
+    w, h = config.width, config.height
+    n_pix = w * h
+    acc = np.zeros((h, w, 3), np.float32)
+    if n_pix <= config.max_rays_per_pass:
+        chunk = max(1, min(spp_total, config.max_rays_per_pass // n_pix))
+        for s0 in range(0, spp_total, chunk):
+            si = jnp.arange(s0, min(s0 + chunk, spp_total), dtype=jnp.int32)
+            acc += np.asarray(_render_path_pass(scene, config, camera, si))
+    else:
+        band = max(1, config.max_rays_per_pass // w)
+        n_bands = -(-h // band)
+        # uniform band height -> ONE compiled executable for every band
+        # (row0 is traced); the last band renders past the frame edge and is
+        # cropped (out-of-frame pixels cost a few wasted lanes)
+        for s0 in range(spp_total):
+            si = jnp.arange(s0, s0 + 1, dtype=jnp.int32)
+            outs = [
+                _render_path_pass(
+                    scene, config, camera, si, min(b * band, h - band), band
+                )
+                for b in range(n_bands)
+            ]
+            for b, out in enumerate(outs):
+                r0 = min(b * band, h - band)
+                done = b * band  # rows already accumulated by earlier bands
+                skip = max(0, done - r0)  # overlap of a shifted last band
+                acc[r0 + skip : r0 + band] += np.asarray(out)[skip:]
     return acc / np.float32(spp_total)
