@@ -97,6 +97,100 @@ class Transform:
             and tuple(self.rotations[0]) == (1.0, 0.0, 0.0, 0.0)
         )
 
+    # -- reference-style mutators -------------------------------------
+    # The reference builds animation tracks with set*Key / concatenating
+    # translate/scale/rotate mutators whose key management is
+    # findOrInsertKey (RMath.h:719-797, 886-940): an exact-time key is
+    # reused; a time outside the range duplicates the end key; a time
+    # between keys inserts an INTERPOLATED key. We replicate that here
+    # (host side, correct quaternion math — the reference's rotate() chains
+    # through a known-buggy operator*=, SURVEY §2.11.5).
+
+    def _interp_key(self, i, frac):
+        import numpy as np
+
+        t0 = np.asarray(self.translations[i], np.float64)
+        t1 = np.asarray(self.translations[i + 1], np.float64)
+        s0 = np.asarray(self.scales[i], np.float64)
+        s1 = np.asarray(self.scales[i + 1], np.float64)
+        q0 = np.asarray(self.rotations[i], np.float64)
+        q1 = np.asarray(self.rotations[i + 1], np.float64)
+        q = q0 * (1.0 - frac) + q1 * frac  # nlerp (RMath.h:576-580)
+        q = q / max(np.linalg.norm(q), 1e-37)
+        return (
+            tuple(t0 * (1.0 - frac) + t1 * frac),
+            tuple(s0 * (1.0 - frac) + s1 * frac),
+            tuple(q),
+        )
+
+    def find_or_insert_key(self, time: float) -> int:
+        if time in self.times:
+            return self.times.index(time)
+        if not self.times or time > self.times[-1]:
+            self.times.append(time)
+            self.translations.append(tuple(self.translations[-1]))
+            self.scales.append(tuple(self.scales[-1]))
+            self.rotations.append(tuple(self.rotations[-1]))
+            return len(self.times) - 1
+        if time < self.times[0]:
+            self.times.insert(0, time)
+            self.translations.insert(0, tuple(self.translations[0]))
+            self.scales.insert(0, tuple(self.scales[0]))
+            self.rotations.insert(0, tuple(self.rotations[0]))
+            return 0
+        # between two keys: insert an interpolated key
+        import bisect
+
+        i = bisect.bisect_right(self.times, time) - 1
+        frac = (time - self.times[i]) / (self.times[i + 1] - self.times[i])
+        tr, sc, ro = self._interp_key(i, frac)
+        self.times.insert(i + 1, time)
+        self.translations.insert(i + 1, tr)
+        self.scales.insert(i + 1, sc)
+        self.rotations.insert(i + 1, ro)
+        return i + 1
+
+    def set_translation(self, time, translation) -> "Transform":
+        k = self.find_or_insert_key(float(time))
+        self.translations[k] = tuple(translation)
+        return self
+
+    def set_scaling(self, time, scale) -> "Transform":
+        k = self.find_or_insert_key(float(time))
+        self.scales[k] = tuple(scale)
+        return self
+
+    def set_rotation(self, time, quaternion_wxyz) -> "Transform":
+        k = self.find_or_insert_key(float(time))
+        self.rotations[k] = tuple(quaternion_wxyz)
+        return self
+
+    def translate(self, time, delta) -> "Transform":
+        k = self.find_or_insert_key(float(time))
+        self.translations[k] = tuple(
+            a + b for a, b in zip(self.translations[k], delta)
+        )
+        return self
+
+    def scale(self, time, factors) -> "Transform":
+        k = self.find_or_insert_key(float(time))
+        self.scales[k] = tuple(a * b for a, b in zip(self.scales[k], factors))
+        return self
+
+    def rotate(self, time, quaternion_wxyz) -> "Transform":
+        """Concatenate a rotation at a key: R_k = R_k * q (correct Hamilton
+        product — deliberately not the reference's aliasing-bugged *=)."""
+        k = self.find_or_insert_key(float(time))
+        w1, x1, y1, z1 = self.rotations[k]
+        w2, x2, y2, z2 = quaternion_wxyz
+        self.rotations[k] = (
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + w2 * x1 + (y1 * z2 - z1 * y2),
+            w1 * y2 + w2 * y1 + (z1 * x2 - x1 * z2),
+            w1 * z2 + w2 * z1 + (x1 * y2 - y1 * x2),
+        )
+        return self
+
 
 @dataclasses.dataclass
 class Plane:
