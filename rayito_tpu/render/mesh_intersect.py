@@ -37,7 +37,7 @@ from ..ops.intersect import INF
 from ..ops.vec3 import V3, from_aos
 
 K1_SUPERS = 16  # superclusters considered per ray (nearest-first)
-K2_CLUSTERS = 32  # clusters considered per ray (nearest-first)
+K2_CLUSTERS = 24  # clusters considered per ray (nearest-first)
 PAIR_CHUNKS = 4  # pair chunk size = n_rays // PAIR_CHUNKS
 
 
@@ -159,11 +159,14 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
     cl_flat = cl_local.reshape(-1)
     valid_flat = pair_valid.reshape(-1)
     orig_pos = jnp.arange(n * k2, dtype=jnp.int32)
-    sort_key = jnp.where(valid_flat, ray_ids, jnp.int32(2**31 - 1))
-    sort_key = sort_key * jnp.int32(1)  # keep i32
-    _, ray_sorted, cl_sorted, valid_sorted, pos_sorted = jax.lax.sort(
-        (sort_key, ray_ids, cl_flat, valid_flat, orig_pos), num_keys=1
+    big = jnp.int32(2**31 - 1)
+    sort_key = jnp.where(valid_flat, ray_ids, big)
+    key_sorted, cl_sorted, pos_sorted = jax.lax.sort(
+        (sort_key, cl_flat, orig_pos), num_keys=1
     )
+    # ray id and validity are recoverable from the key itself
+    valid_sorted = key_sorted != big
+    ray_sorted = jnp.minimum(key_sorted, n - 1)
     n_valid = jnp.sum(valid_flat.astype(jnp.int32))
     if pad_to > pair_budget:
         extra = pad_to - pair_budget
