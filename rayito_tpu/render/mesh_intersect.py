@@ -110,10 +110,6 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
 
     k1 = min(n_sc, K1_SUPERS)
     k2 = min(k1 * CLUSTERS_PER_SUPER, K2_CLUSTERS)
-    chunk = max(128, n // PAIR_CHUNKS)
-    pair_budget = n * k2
-    max_chunks = -(-pair_budget // chunk)
-    pad_to = chunk * max_chunks
 
     # ---- phase 1: dense supercluster slab (small broadcast table)
     scm = from_aos(scene.sc_min[sc0 : sc0 + n_sc])
@@ -148,79 +144,73 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
     )
     neg_t2, cand = jax.lax.top_k(-t_cl, k2)  # [N, k2] slots into k1*16
     pair_valid = neg_t2 > -INF
-    sc_sel = jnp.take_along_axis(sc_idx, cand >> 4, axis=1)  # [N, k2]
-    cl_local = sc_sel * CLUSTERS_PER_SUPER + (cand & 15)
 
-    # ---- phase 3: pair compaction (valid pairs first, grouped by ray).
-    # ONE multi-operand lax.sort carries all pair payloads — large 1-D
-    # permutation gathers are ~30x slower than the sort itself on TPU.
+    # ---- phase 3: RAY compaction. Rays with any candidate cluster are
+    # sorted to the front ([N]-sized sort — 24x smaller than sorting pairs)
+    # and processed in fixed-size blocks of R rays x k2 clusters: each block
+    # row-gathers its clusters' packed triangle rows and runs dense
+    # Möller-Trumbore. Only ~the hitting fraction of rays does any work.
     lane_ids = jnp.arange(n, dtype=jnp.int32)
-    ray_ids = jnp.broadcast_to(lane_ids[:, None], (n, k2)).reshape(-1)
-    cl_flat = cl_local.reshape(-1)
-    valid_flat = pair_valid.reshape(-1)
-    orig_pos = jnp.arange(n * k2, dtype=jnp.int32)
+    has_cand = pair_valid[:, 0]  # top-k is sorted: slot 0 valid <=> any valid
     big = jnp.int32(2**31 - 1)
-    sort_key = jnp.where(valid_flat, ray_ids, big)
-    key_sorted, cl_sorted, pos_sorted = jax.lax.sort(
-        (sort_key, cl_flat, orig_pos), num_keys=1
-    )
-    # ray id and validity are recoverable from the key itself
-    valid_sorted = key_sorted != big
-    ray_sorted = jnp.minimum(key_sorted, n - 1)
-    n_valid = jnp.sum(valid_flat.astype(jnp.int32))
-    if pad_to > pair_budget:
-        extra = pad_to - pair_budget
-        ray_sorted = jnp.concatenate([ray_sorted, jnp.zeros(extra, jnp.int32)])
-        cl_sorted = jnp.concatenate([cl_sorted, jnp.zeros(extra, jnp.int32)])
-        valid_sorted = jnp.concatenate([valid_sorted, jnp.zeros(extra, bool)])
-        pos_sorted = jnp.concatenate(
-            [pos_sorted, jnp.full(extra, n * k2, jnp.int32)]
+    key = jnp.where(has_cand, lane_ids, big)
+    _, ray_of_slot = jax.lax.sort((key, lane_ids), num_keys=1)  # [N]
+    n_active = jnp.sum(has_cand.astype(jnp.int32))
+
+    R = max(256, min(4096, n // PAIR_CHUNKS))
+    max_blocks = -(-n // R)
+    pad_slots = max_blocks * R - n
+    if pad_slots:
+        ray_of_slot = jnp.concatenate(
+            [ray_of_slot, jnp.zeros(pad_slots, jnp.int32)]
         )
-
     T = TRI_PER_CLUSTER
+    sc_flat = sc_idx.reshape(-1)  # [n*k1]
 
-    def chunk_cond(s):
-        return (s[2] * chunk < n_valid) & (s[2] < max_chunks)
+    def blk_cond(s):
+        return (s[2] * R < n_active) & (s[2] < max_blocks)
 
-    def chunk_body(s):
-        t_pairs_all, prim_pairs_all, ci = s
-        start = ci * chunk
-        pr = jax.lax.dynamic_slice_in_dim(ray_sorted, start, chunk)
-        pc = jax.lax.dynamic_slice_in_dim(cl_sorted, start, chunk)
-        pv = jax.lax.dynamic_slice_in_dim(valid_sorted, start, chunk)
-        trows = scene.tri_rows[cl0 + pc]  # [P, 512]: one row gather per pair
-        v0x, v0y, v0z = trows[:, 0:T], trows[:, T : 2 * T], trows[:, 2 * T : 3 * T]
-        v1x = trows[:, 3 * T : 4 * T]
-        v1y = trows[:, 4 * T : 5 * T]
-        v1z = trows[:, 5 * T : 6 * T]
-        v2x = trows[:, 6 * T : 7 * T]
-        v2y = trows[:, 7 * T : 8 * T]
-        v2z = trows[:, 8 * T : 9 * T]
-        po = o[pr]
-        pd = d[pr]
-        # Moller-Trumbore, reference formulation (RMesh.h:260-335), inlined
-        # on row components [P, 48]
+    def blk_body(s):
+        t_slots, prim_slots, ci = s
+        start = ci * R
+        rs = jax.lax.dynamic_slice_in_dim(ray_of_slot, start, R)  # [R]
+        slots = cand[rs]  # [R, k2] candidate slot ids (into k1*16)
+        pv = pair_valid[rs]  # [R, k2]
+        # cluster id = sc_idx[ray, slot>>4]*16 + slot&15 (per-pair 1-D gather
+        # from the flattened [n*k1] table — small)
+        sc_sel = sc_flat[rs[:, None] * k1 + (slots >> 4)]
+        cl_sel = sc_sel * CLUSTERS_PER_SUPER + (slots & 15)
+        trows = scene.tri_rows[cl0 + cl_sel]  # [R, k2, 512]
+        po = o[rs]
+        pd = d[rs]
+
+        def comp(base):
+            return trows[:, :, base * T : (base + 1) * T]  # [R, k2, 48]
+
+        v0x, v0y, v0z = comp(0), comp(1), comp(2)
+        v1x, v1y, v1z = comp(3), comp(4), comp(5)
+        v2x, v2y, v2z = comp(6), comp(7), comp(8)
+        dx = pd.x[:, None, None]
+        dy = pd.y[:, None, None]
+        dz = pd.z[:, None, None]
+        ox = po.x[:, None, None]
+        oy = po.y[:, None, None]
+        oz = po.z[:, None, None]
+        # Möller-Trumbore, reference formulation (RMesh.h:260-335)
         e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
         e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
         gnx = e1y * e2z - e1z * e2y
         gny = e1z * e2x - e1x * e2z
         gnz = e1x * e2y - e1y * e2x
-        dx, dy, dz = pd.x[:, None], pd.y[:, None], pd.z[:, None]
         det = -(dx * gnx + dy * gny + dz * gnz)
         inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
-        t0x = v0x - po.x[:, None]
-        t0y = v0y - po.y[:, None]
-        t0z = v0z - po.z[:, None]
+        t0x, t0y, t0z = v0x - ox, v0y - oy, v0z - oz
         rcx = dy * t0z - dz * t0y
         rcy = dz * t0x - dx * t0z
         rcz = dx * t0y - dy * t0x
-        t1x = v1x - po.x[:, None]
-        t1y = v1y - po.y[:, None]
-        t1z = v1z - po.z[:, None]
+        t1x, t1y, t1z = v1x - ox, v1y - oy, v1z - oz
         gamma = -(t1x * rcx + t1y * rcy + t1z * rcz) * inv_det
-        t2x = v2x - po.x[:, None]
-        t2y = v2y - po.y[:, None]
-        t2z = v2z - po.z[:, None]
+        t2x, t2y, t2z = v2x - ox, v2y - oy, v2z - oz
         beta = (t2x * rcx + t2y * rcy + t2z * rcz) * inv_det
         t = -(t0x * gnx + t0y * gny + t0z * gnz) * inv_det
         hit = (
@@ -230,42 +220,33 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
             & (beta >= 0.0)
             & (beta + gamma <= 1.0)
             & (t >= tmin)
-            & (t < tmax[pr][:, None])
-            & pv[:, None]
+            & (t < tmax[rs][:, None, None])
+            & pv[:, :, None]
         )
-        t_tri = jnp.where(hit, t, INF)
-        t_pair = jnp.min(t_tri, axis=1)
+        t_tri = jnp.where(hit, t, INF).reshape(R, k2 * T)
+        t_ray = jnp.min(t_tri, axis=1)
         arg = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
-        prim_pair = tri0 + pc * T + arg
-        t_pairs_all = jax.lax.dynamic_update_slice_in_dim(
-            t_pairs_all, t_pair, start, 0
+        cl_win = jnp.take_along_axis(cl_sel, (arg // T)[:, None], axis=1)[:, 0]
+        prim_ray = tri0 + cl_win * T + (arg % T)
+        t_slots = jax.lax.dynamic_update_slice_in_dim(t_slots, t_ray, start, 0)
+        prim_slots = jax.lax.dynamic_update_slice_in_dim(
+            prim_slots, prim_ray, start, 0
         )
-        prim_pairs_all = jax.lax.dynamic_update_slice_in_dim(
-            prim_pairs_all, prim_pair, start, 0
-        )
-        return t_pairs_all, prim_pairs_all, ci + 1
+        return t_slots, prim_slots, ci + 1
 
-    t_pairs_all, prim_pairs_all, _ = jax.lax.while_loop(
-        chunk_cond,
-        chunk_body,
+    t_slots, prim_slots, _ = jax.lax.while_loop(
+        blk_cond,
+        blk_body,
         (
-            jnp.full((pad_to,), INF, jnp.float32),
-            jnp.full((pad_to,), -1, jnp.int32),
+            jnp.full((max_blocks * R,), INF, jnp.float32),
+            jnp.full((max_blocks * R,), -1, jnp.int32),
             jnp.int32(0),
         ),
     )
-
-    # ---- winner resolution: restore original pair order by sorting on the
-    # carried original positions (padding sorts to the end), then dense
-    # [N, k2] min-reduce
-    _, t_orig, prim_orig = jax.lax.sort(
-        (pos_sorted, t_pairs_all, prim_pairs_all), num_keys=1
+    # unsort slot results back to ray order ([N]-sized multi-operand sort)
+    _, t_best, prim_best = jax.lax.sort(
+        (ray_of_slot[:n], t_slots[:n], prim_slots[:n]), num_keys=1
     )
-    t_dense = t_orig[:pair_budget].reshape(n, k2)
-    prim_dense = prim_orig[:pair_budget].reshape(n, k2)
-    t_best = jnp.min(t_dense, axis=1)
-    j_star = jnp.argmin(t_dense, axis=1)
-    prim_best = jnp.take_along_axis(prim_dense, j_star[:, None], axis=1)[:, 0]
 
     hit_mask = jnp.isfinite(t_best) & (t_best < tmax) & (prim_best >= 0)
     if any_hit:
