@@ -121,37 +121,13 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
         scm.x[None, :], scm.y[None, :], scm.z[None, :],
         scx.x[None, :], scx.y[None, :], scx.z[None, :],
     )  # [N, S]
-    overflow = jnp.sum(
-        jnp.maximum(jnp.sum((t_sc < INF).astype(jnp.int32), axis=1) - k1, 0)
-    )
-    neg_t1, sc_idx = jax.lax.top_k(-t_sc, k1)  # [N, k1] nearest
-    sc_valid = neg_t1 > -INF
-
-    # ---- phase 2: children boxes via ONE packed row gather per super
-    rows = scene.sc_rows[sc0 + sc_idx]  # [N, k1, 128]
-    t_cl = _slab6(
-        o.x[:, None, None], o.y[:, None, None], o.z[:, None, None],
-        inv_d.x[:, None, None], inv_d.y[:, None, None], inv_d.z[:, None, None],
-        tmin, tmax[:, None, None],
-        rows[:, :, 0:16], rows[:, :, 16:32], rows[:, :, 32:48],
-        rows[:, :, 48:64], rows[:, :, 64:80], rows[:, :, 80:96],
-    )  # [N, k1, 16]
-    t_cl = jnp.where(sc_valid[:, :, None], t_cl, INF).reshape(
-        n, k1 * CLUSTERS_PER_SUPER
-    )
-    overflow = overflow + jnp.sum(
-        jnp.maximum(jnp.sum((t_cl < INF).astype(jnp.int32), axis=1) - k2, 0)
-    )
-    neg_t2, cand = jax.lax.top_k(-t_cl, k2)  # [N, k2] slots into k1*16
-    pair_valid = neg_t2 > -INF
-
-    # ---- phase 3: RAY compaction. Rays with any candidate cluster are
-    # sorted to the front ([N]-sized sort — 24x smaller than sorting pairs)
-    # and processed in fixed-size blocks of R rays x k2 clusters: each block
-    # row-gathers its clusters' packed triangle rows and runs dense
-    # Möller-Trumbore. Only ~the hitting fraction of rays does any work.
+    # ---- RAY COMPACTION: everything below phase 1 runs only on the rays
+    # that hit ANY supercluster (an [N]-sized sort brings them to the front;
+    # typically a small fraction of the wavefront). Fixed blocks of R
+    # compacted rays then run phase 2 (children expansion) and phase 3
+    # (dense triangle blocks) together.
     lane_ids = jnp.arange(n, dtype=jnp.int32)
-    has_cand = pair_valid[:, 0]  # top-k is sorted: slot 0 valid <=> any valid
+    has_cand = jnp.any(jnp.isfinite(t_sc), axis=1)
     big = jnp.int32(2**31 - 1)
     key = jnp.where(has_cand, lane_ids, big)
     _, ray_of_slot = jax.lax.sort((key, lane_ids), num_keys=1)  # [N]
@@ -165,24 +141,51 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
             [ray_of_slot, jnp.zeros(pad_slots, jnp.int32)]
         )
     T = TRI_PER_CLUSTER
-    sc_flat = sc_idx.reshape(-1)  # [n*k1]
 
     def blk_cond(s):
-        return (s[2] * R < n_active) & (s[2] < max_blocks)
+        return (s[3] * R < n_active) & (s[3] < max_blocks)
 
     def blk_body(s):
-        t_slots, prim_slots, ci = s
-        start = ci * R
-        rs = jax.lax.dynamic_slice_in_dim(ray_of_slot, start, R)  # [R]
-        slots = cand[rs]  # [R, k2] candidate slot ids (into k1*16)
-        pv = pair_valid[rs]  # [R, k2]
-        # cluster id = sc_idx[ray, slot>>4]*16 + slot&15 (per-pair 1-D gather
-        # from the flattened [n*k1] table — small)
-        sc_sel = sc_flat[rs[:, None] * k1 + (slots >> 4)]
-        cl_sel = sc_sel * CLUSTERS_PER_SUPER + (slots & 15)
+        t_slots, prim_slots, overflow, ci = s
+        startp = ci * R
+        rs = jax.lax.dynamic_slice_in_dim(ray_of_slot, startp, R)  # [R]
+        ob = o[rs]
+        db = d[rs]
+        ib = V3(1.0 / db.x, 1.0 / db.y, 1.0 / db.z)
+        tmax_b = tmax[rs]
+
+        # ---- phase 2 (per block): children boxes via packed row gathers
+        t_sc_b = t_sc[rs]  # [R, S] row gather
+        neg_t1, sc_idx = jax.lax.top_k(-t_sc_b, k1)  # [R, k1]
+        sc_valid = neg_t1 > -INF
+        overflow = overflow + jnp.sum(
+            jnp.maximum(
+                jnp.sum(jnp.isfinite(t_sc_b).astype(jnp.int32), axis=1) - k1, 0
+            )
+        )
+        rows = scene.sc_rows[sc0 + sc_idx]  # [R, k1, 128]
+        t_cl = _slab6(
+            ob.x[:, None, None], ob.y[:, None, None], ob.z[:, None, None],
+            ib.x[:, None, None], ib.y[:, None, None], ib.z[:, None, None],
+            tmin, tmax_b[:, None, None],
+            rows[:, :, 0:16], rows[:, :, 16:32], rows[:, :, 32:48],
+            rows[:, :, 48:64], rows[:, :, 64:80], rows[:, :, 80:96],
+        )
+        t_cl = jnp.where(sc_valid[:, :, None], t_cl, INF).reshape(
+            R, k1 * CLUSTERS_PER_SUPER
+        )
+        overflow = overflow + jnp.sum(
+            jnp.maximum(
+                jnp.sum((t_cl < INF).astype(jnp.int32), axis=1) - k2, 0
+            )
+        )
+        neg_t2, cand = jax.lax.top_k(-t_cl, k2)  # [R, k2] slots into k1*16
+        pv = neg_t2 > -INF
+        sc_sel = jnp.take_along_axis(sc_idx, cand >> 4, axis=1)  # [R, k2]
+        cl_sel = sc_sel * CLUSTERS_PER_SUPER + (cand & 15)
+
+        # ---- phase 3 (per block): dense triangle blocks
         trows = scene.tri_rows[cl0 + cl_sel]  # [R, k2, 512]
-        po = o[rs]
-        pd = d[rs]
 
         def comp(base):
             return trows[:, :, base * T : (base + 1) * T]  # [R, k2, 48]
@@ -190,12 +193,12 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
         v0x, v0y, v0z = comp(0), comp(1), comp(2)
         v1x, v1y, v1z = comp(3), comp(4), comp(5)
         v2x, v2y, v2z = comp(6), comp(7), comp(8)
-        dx = pd.x[:, None, None]
-        dy = pd.y[:, None, None]
-        dz = pd.z[:, None, None]
-        ox = po.x[:, None, None]
-        oy = po.y[:, None, None]
-        oz = po.z[:, None, None]
+        dx = db.x[:, None, None]
+        dy = db.y[:, None, None]
+        dz = db.z[:, None, None]
+        ox = ob.x[:, None, None]
+        oy = ob.y[:, None, None]
+        oz = ob.z[:, None, None]
         # Möller-Trumbore, reference formulation (RMesh.h:260-335)
         e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
         e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
@@ -220,7 +223,7 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
             & (beta >= 0.0)
             & (beta + gamma <= 1.0)
             & (t >= tmin)
-            & (t < tmax[rs][:, None, None])
+            & (t < tmax_b[:, None, None])
             & pv[:, :, None]
         )
         t_tri = jnp.where(hit, t, INF).reshape(R, k2 * T)
@@ -228,18 +231,19 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
         arg = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
         cl_win = jnp.take_along_axis(cl_sel, (arg // T)[:, None], axis=1)[:, 0]
         prim_ray = tri0 + cl_win * T + (arg % T)
-        t_slots = jax.lax.dynamic_update_slice_in_dim(t_slots, t_ray, start, 0)
+        t_slots = jax.lax.dynamic_update_slice_in_dim(t_slots, t_ray, startp, 0)
         prim_slots = jax.lax.dynamic_update_slice_in_dim(
-            prim_slots, prim_ray, start, 0
+            prim_slots, prim_ray, startp, 0
         )
-        return t_slots, prim_slots, ci + 1
+        return t_slots, prim_slots, overflow, ci + 1
 
-    t_slots, prim_slots, _ = jax.lax.while_loop(
+    t_slots, prim_slots, overflow, _ = jax.lax.while_loop(
         blk_cond,
         blk_body,
         (
             jnp.full((max_blocks * R,), INF, jnp.float32),
             jnp.full((max_blocks * R,), -1, jnp.int32),
+            jnp.int32(0),
             jnp.int32(0),
         ),
     )
