@@ -4,11 +4,12 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is measured Mrays/s divided by the 50 Mrays/s/chip target
 (BASELINE.json north_star).
 
-Ray accounting: every scene-intersection query issued by the wavefront —
-primary/continuation traces, NEE shadow occlusions, and NEE BRDF-side
-traces — over all wavefront lanes. Per pixel sample with depth D and L
-light samples that is D * (1 + 2L) queries (lanes are dense masked compute:
-dead lanes still occupy hardware, so they count for throughput purposes).
+Ray accounting (honest, counted on-device): the scene-intersection queries
+the integrator semantically ISSUES — alive-lane traces, NEE shadow
+occlusions on lanes whose masks require one, and NEE BRDF-side traces.
+Dead lanes and masked-off queries do NOT count, so the metric cannot be
+inflated by dense-lane padding and stays comparable when lane-compaction
+optimizations land (it only gets harder to hit).
 """
 
 import json
@@ -45,7 +46,7 @@ def main():
     si = jnp.arange(1, dtype=jnp.int32)  # one sample per launch; row bands
     band = min(height, cfg.max_rays_per_pass // width)
     # warmup / compile (row0 is traced: one executable covers all bands)
-    img = _render_path_pass(scene, cfg, cam, si, 0, band)
+    img, _, _ = _render_path_pass(scene, cfg, cam, si, 0, band)
     _ = float(img.sum())
 
     frames = 3
@@ -60,13 +61,13 @@ def main():
             )
     # one hard sync at the end (block_until_ready does not reliably block
     # through the axon relay; a scalar readback does)
-    _ = float(outs[-1].sum() + outs[0].sum())
+    _ = float(outs[-1][0].sum() + outs[0][0].sum())
     dt = (time.perf_counter() - t0) / frames
 
-    lanes = width * height * int(si.shape[0])
-    nls = cfg.light_samples**2
-    queries_per_lane = cfg.max_depth * (1 + 2 * nls)
-    mrays = lanes * queries_per_lane / dt / 1e6
+    # issued-query counters were computed on-device during the timed region;
+    # reading them back now costs nothing against the measurement
+    queries = sum(int(q) for _, _, q in outs)
+    mrays = queries / frames / dt / 1e6
 
     print(
         json.dumps(

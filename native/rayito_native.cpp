@@ -8,7 +8,7 @@
 //    median fallback on degenerate partitions, leaf = 1 primitive). Here we
 //    only need the resulting DFS primitive ORDER — the device consumes
 //    fixed-size clusters cut from that order (accel/clusters.py) — so the
-//    builder emits prim_order plus flat node arrays for completeness.
+//    builder emits exactly that: prim_order.
 //
 //  * Wavefront OBJ parsing (the reference's createFromOBJFile,
 //    OBJMesh.cpp:49-181): v/vn/vt and all four f index forms, 1-based and

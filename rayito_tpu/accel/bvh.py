@@ -1,4 +1,4 @@
-"""BVH construction (host) and skip-link flattening (device layout).
+"""BVH construction (host): the DFS primitive order that feeds clustering.
 
 Build algorithm matches the reference Bvh<T> (Rayito_Stage7_QT/RAccel.h:262-372):
   * exactly 2N-1 nodes for N primitives, leaves hold 1 primitive,
@@ -7,17 +7,13 @@ Build algorithm matches the reference Bvh<T> (Rayito_Stage7_QT/RAccel.h:262-372)
   * degenerate partitions fall back to a median split,
   * node bbox = union of member element bboxes.
 
-Device layout is where we diverge from the reference on purpose: the
-reference traverses with a 50-entry per-ray stack (RAccel.h:377-560), which is
-hostile to a SIMD machine. We instead *thread* the tree with skip links
-("hit_link" = next node in DFS order when the box is entered, "miss_link" =
-DFS successor skipping the subtree), so a whole wavefront of rays walks the
-tree in lock-step with one int32 cursor per lane and zero stack traffic —
-a single gather + AABB test + masked triangle test per step. t-pruning against
-the current best hit replaces the reference's front-to-back interval pruning.
-
-Build is NumPy on host (scene prep, same place the reference builds); the
-traversal kernels live in ops/trace and render/.
+The device does NOT walk this tree: per-lane pointer chasing is the one thing
+a TPU cannot do fast (the reference traverses with a 50-entry per-ray stack,
+RAccel.h:377-560). Only the tree's DFS primitive ORDER is consumed — it makes
+consecutive triangles spatially coherent, and accel/clusters.py cuts that
+order into the fixed-size clusters the dense traversal
+(render/mesh_intersect.py) operates on. Build is NumPy on host (scene prep,
+same place the reference builds) with a native C++ fast path (utils/native).
 """
 
 from __future__ import annotations
@@ -29,12 +25,10 @@ import numpy as np
 
 @dataclasses.dataclass
 class BuiltBvh:
-    """Host-side BVH: threaded node arrays + the primitive permutation."""
+    """Host-side BVH: node boxes + the primitive permutation."""
 
     nodes_min: np.ndarray  # [M, 3] float32
     nodes_max: np.ndarray  # [M, 3] float32
-    hit_link: np.ndarray  # [M] int32 (next node if box entered; -1 = done)
-    miss_link: np.ndarray  # [M] int32 (next node if box missed; -1 = done)
     prim: np.ndarray  # [M] int32 (leaf primitive in *reordered* space, -1 internal)
     prim_order: np.ndarray  # [N] int32: reordered[i] = original[prim_order[i]]
     depth: int
@@ -72,8 +66,6 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BuiltBvh:
         return BuiltBvh(
             np.zeros((0, 3), f32),
             np.zeros((0, 3), f32),
-            np.zeros(0, i32),
-            np.zeros(0, i32),
             np.zeros(0, i32),
             np.zeros(0, i32),
             0,
@@ -135,25 +127,4 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BuiltBvh:
 
     assert next_free == m, (next_free, m)
 
-    # Thread the tree: DFS order. Because children were allocated in DFS pop
-    # order above, node indices are NOT in DFS sequence, so compute links by
-    # walking the structure.
-    hit_link = np.full(m, -1, i32)
-    miss_link = np.full(m, -1, i32)
-
-    # iterative: (node, successor) where successor = DFS successor of subtree
-    walk = [(0, -1)]
-    while walk:
-        node, succ = walk.pop()
-        miss_link[node] = succ
-        lc = left_child[node]
-        if lc < 0:  # leaf: entering just tests the prim, then continue to succ
-            hit_link[node] = succ
-        else:
-            hit_link[node] = lc
-            walk.append((lc, lc + 1))  # left's successor is right sibling
-            walk.append((lc + 1, succ))  # right's successor is our successor
-
-    return BuiltBvh(
-        nodes_min, nodes_max, hit_link, miss_link, prim, order.astype(i32), max_depth
-    )
+    return BuiltBvh(nodes_min, nodes_max, prim, order.astype(i32), max_depth)

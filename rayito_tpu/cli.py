@@ -167,6 +167,7 @@ def main(argv=None):
             stats_line = (
                 f" rays={stats.rays_traced / 1e6:.1f}M"
                 f" throughput={stats.mrays_per_sec:.2f} Mrays/s"
+                + (f" OVERFLOW={stats.overflow}" if stats.overflow else "")
             )
 
     dt = time.perf_counter() - t1

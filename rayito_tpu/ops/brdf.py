@@ -177,3 +177,42 @@ def sample_sa(kind, exponent, outgoing: V3, normal: V3, u1, u2):
     f = jnp.where(none, 0.0, f)
     pdf = jnp.where(none, 0.0, pdf)
     return incoming, f, pdf
+
+
+def pdf_sa(kind, exponent, incoming: V3, outgoing: V3, normal: V3):
+    """Brdf::pdfSA — solid-angle pdf of the in/out/normal configuration
+    (Dirac kinds: 0, RMaterial.h:80-84,425)."""
+    _, pdf = evaluate_sa(kind, exponent, incoming, outgoing, normal)
+    return pdf
+
+
+# ---------------------------------------------------------------------------
+# Projected-solid-angle (PSA) variants (RMaterial.h:60-87). The reference's
+# base-class defaults divide the SA pdf by |n·i|; reflectance is unchanged.
+# The renderer only ever calls the SA variants (RaytraceMain.cpp:383,413,456)
+# — these exist for interface parity. For the Dirac mirror, samplePSA's pdf
+# is exactly 1 (sampleSA pdf = |n·i|, RMaterial.h:417-423).
+# ---------------------------------------------------------------------------
+
+
+def _to_psa(pdf_sa_val, incoming: V3, normal: V3):
+    return pdf_sa_val / jnp.maximum(jnp.abs(dot(incoming, normal)), 1e-37)
+
+
+def evaluate_psa(kind, exponent, incoming: V3, outgoing: V3, normal: V3):
+    """Brdf::evaluatePSA — (f, pdf wrt projected solid angle)."""
+    f, pdf = evaluate_sa(kind, exponent, incoming, outgoing, normal)
+    return f, _to_psa(pdf, incoming, normal)
+
+
+def sample_psa(kind, exponent, outgoing: V3, normal: V3, u1, u2):
+    """Brdf::samplePSA — (incoming, f, pdf wrt projected solid angle)."""
+    incoming, f, pdf = sample_sa(kind, exponent, outgoing, normal, u1, u2)
+    return incoming, f, _to_psa(pdf, incoming, normal)
+
+
+def pdf_psa(kind, exponent, incoming: V3, outgoing: V3, normal: V3):
+    """Brdf::pdfPSA = pdfSA / |n·i| (RMaterial.h:80-86)."""
+    return _to_psa(
+        pdf_sa(kind, exponent, incoming, outgoing, normal), incoming, normal
+    )

@@ -191,9 +191,32 @@ def hash_combine(*vals) -> jnp.ndarray:
     return h
 
 
-# Purpose salts for the reference's sampler taxonomy (rayito.h:103-122):
-# subpixel / lens / time per pixel sample; bounce / light-select /
-# light-element / light / brdf per bounce.
+# Purpose salts — the complete mapping from the reference's per-thread
+# SamplerContainer of 8 sampler streams (Rayito_Stage7_QT/RaytraceMain.cpp:
+# 84-108, samplers built per pixel at :215-248) to this renderer's pure
+# counter-based CMJ keys. The reference gives each purpose its OWN
+# sequentially-seeded sampler object; here each purpose gets its own
+# permutation salt, hashed with (pixel.x, pixel.y, purpose, [bounce], seed)
+# — hash_combine() below — so streams are decorrelated by construction and
+# independent of scheduling. Pattern sizes match the reference exactly:
+#
+#   reference sampler (RaytraceMain.cpp)   salt here              CMJ pattern
+#   m_sampler      (subpixel x,y)          PURPOSE_SUBPIXEL       ps x ps
+#   m_lensSampler  (DOF lens u,v)          PURPOSE_LENS           ps x ps
+#   m_timeSampler  (shutter 1D)            PURPOSE_TIME           (ps*ps) 1D
+#   m_bounceSampler(continuation u,v)      PURPOSE_BOUNCE         ps x ps
+#   per-bounce light loop, per sample:
+#   m_lightSelectionSampler (1D)           PURPOSE_LIGHT_SELECT   (ps*ls)^2 1D
+#   m_lightElementSampler   (1D)           PURPOSE_LIGHT_ELEMENT  (ps*ls)^2 1D
+#   m_lightSampler          (u,v)          PURPOSE_LIGHT          (ps*ls)x(ps*ls)
+#   m_brdfSampler           (u,v)          PURPOSE_BRDF           (ps*ls)x(ps*ls)
+#
+# The light-loop salts key on (pixel, purpose, bounce) and index the pattern
+# with flat sample index si*nls+lsi (pathtracer.py:150-160): one stratified
+# pattern spans all (pixel sample x light sample) draws of a bounce, exactly
+# the reference's pattern-size choice; unlike the reference the streams do
+# not advance with consumption order, so any lane/chunk schedule reproduces
+# the same numbers (the determinism the tile-seeded MWC could not give).
 PURPOSE_SUBPIXEL = 0x51BD0010
 PURPOSE_LENS = 0x51BD0020
 PURPOSE_TIME = 0x51BD0030

@@ -57,14 +57,23 @@ def _sharded_pass(scene, config, camera, px, py, si, mesh_axes, n_pad):
         )
         time_u = rngo.cmj_sample_1d(si.astype(jnp.uint32), ps * ps, perm_time)
         o, d, t = camera.make_rays(xu, yu, lens_u, lens_v, time_u)
-        rad = pathtrace_wave(scene, config, o, d, t, px, py, si)
-        return rad.x, rad.y, rad.z
+        rad, overflow, queries = pathtrace_wave(
+            scene, config, o, d, t, px, py, si
+        )
+        # per-shard scalars ride back as [1]-shaped shards (no collective)
+        return (
+            rad.x, rad.y, rad.z,
+            overflow.reshape(1), queries.reshape(1),
+        )
 
     return jax.shard_map(
         shard_fn,
         mesh=mesh_axes,
         in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
-        out_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        out_specs=(
+            P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS),
+            P(TILE_AXIS), P(TILE_AXIS),
+        ),
         # the BVH while_loop carries mix replicated-initialized state
         # (node cursors from the replicated scene root) with varying ray
         # state; vma checking rejects that even though the program is
@@ -102,9 +111,17 @@ def render_path_sharded(
         py_ = np.concatenate([py_, np.zeros(n_pad, np.int32)])
         si_ = np.concatenate([si_, np.zeros(n_pad, np.int32)])
 
-    rx, ry, rz = _sharded_pass(
+    rx, ry, rz, overflow, _queries = _sharded_pass(
         scene, config, camera,
         jnp.asarray(px_), jnp.asarray(py_), jnp.asarray(si_), mesh, n_pad,
     )
+    if int(np.asarray(overflow).sum()):
+        import sys
+
+        print(
+            "[rayito_tpu] WARNING: cluster-traversal candidate overflow "
+            f"x{int(np.asarray(overflow).sum())} (see render/mesh_intersect.py)",
+            file=sys.stderr,
+        )
     radiance = np.stack([np.asarray(rx)[:n], np.asarray(ry)[:n], np.asarray(rz)[:n]], -1)
     return radiance.reshape(spp, h, w, 3).mean(axis=0)

@@ -83,7 +83,11 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
     """Trace one wavefront of camera rays to completion.
 
     o, d: V3 of [N]; time [N]; px, py [N] pixel coords; si [N] pixel-sample
-    index. Returns radiance V3 of [N].
+    index. Returns (radiance V3 of [N], overflow [] int32, queries [] int32)
+    where ``queries`` counts the scene queries the integrator semantically
+    issued (alive-lane traces + NEE shadow/BRDF-side queries on lanes whose
+    masks require one) — the honest ray-throughput denominator, invariant
+    under lane compaction / dead-lane optimizations.
     """
     n = o.shape[0]
     f32 = jnp.float32
@@ -92,6 +96,8 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
     throughput = V3(jnp.ones((n,), f32), jnp.ones((n,), f32), jnp.ones((n,), f32))
     alive = jnp.ones((n,), bool)
     num_dirac = jnp.zeros((n,), jnp.int32)
+    overflow0 = jnp.int32(0)
+    queries0 = jnp.int32(0)
 
     n_lights = scene.n_lights
     nls = config.light_samples * config.light_samples if n_lights else 0
@@ -106,8 +112,10 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
     emitted_const = [L.light_emitted(scene, li) for li in range(n_lights)]
 
     def bounce_body(bounce, carry):
-        o, d, result, throughput, alive, num_dirac = carry
+        o, d, result, throughput, alive, num_dirac, overflow, queries = carry
         hit = scene_intersect(scene, o, d, time, tmin, jnp.full((n,), RAY_TMAX, f32))
+        overflow = overflow + hit.overflow
+        queries = queries + jnp.sum(alive.astype(jnp.int32))
         lane = alive & hit.valid
 
         kind, mat_color, exponent = _mat_lookup(scene, hit.mat)
@@ -147,7 +155,8 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                 pxu, pyu, rngo.PURPOSE_BRDF, bounce_u, seed
             )
 
-            def nee_body(lsi, acc):
+            def nee_body(lsi, nee_carry):
+                acc, nee_ovf, nee_q = nee_carry
                 fsi = siu * np.uint32(nls) + lsi.astype(jnp.uint32)
                 # light selection (1D pattern of (ps*ls)² samples)
                 liu = rngo.cmj_sample_1d(fsi, (ps * ls) ** 2, perm_sel)
@@ -201,7 +210,8 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                     kind, exponent, light_incoming, outgoing, normal
                 )
                 ok_l = nee_lane & (lpdf > 0.0) & (f_l > 0.0) & (brdf_pdf_l > 0.0)
-                occluded = scene_occluded(
+                nee_q = nee_q + jnp.sum(ok_l.astype(jnp.int32))
+                occluded, ovf_l = scene_occluded(
                     scene,
                     position,
                     -light_incoming,
@@ -209,6 +219,7 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                     tmin,
                     jnp.where(ok_l, dist - tmin, 0.0),
                 )
+                nee_ovf = nee_ovf + ovf_l
                 ok_l = ok_l & ~occluded
                 w_l = power_heuristic(1.0, lpdf, 1.0, brdf_pdf_l)
                 gain_l = jnp.where(
@@ -253,7 +264,8 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                         jnp.stack([hh[2] for hh in hits]), light_idx
                     )
                     ok_b = ok_b & l_hit
-                    blocked = scene_occluded(
+                    nee_q = nee_q + jnp.sum(ok_b.astype(jnp.int32))
+                    blocked, ovf_b = scene_occluded(
                         scene,
                         position,
                         -b_in,
@@ -261,9 +273,11 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                         tmin,
                         jnp.where(ok_b, jnp.where(l_hit, t_l, 0.0) - tmin, 0.0),
                     )
+                    nee_ovf = nee_ovf + ovf_b
                     hit_light = ok_b & ~blocked
                     sh_t, sh_n = t_l, n_l
                 else:
+                    nee_q = nee_q + jnp.sum(ok_b.astype(jnp.int32))
                     sh = scene_intersect(
                         scene,
                         position,
@@ -272,6 +286,7 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                         tmin,
                         jnp.where(ok_b, RAY_TMAX, tmin),
                     )
+                    nee_ovf = nee_ovf + sh.overflow
                     hit_light = ok_b & sh.valid & (sh.shape_id == chosen_sid)
                     sh_t, sh_n = sh.t, sh.normal
                 lpdf_b = [
@@ -289,10 +304,10 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                     / jnp.maximum(pdf_b, 1e-37),
                     0.0,
                 )
-                return acc + emitted * cmod_color * gain_b
+                return acc + emitted * cmod_color * gain_b, nee_ovf, nee_q
 
-            light_acc = jax.lax.fori_loop(
-                0, nls, nee_body, V3(zeros, zeros, zeros)
+            light_acc, overflow, queries = jax.lax.fori_loop(
+                0, nls, nee_body, (V3(zeros, zeros, zeros), overflow, queries)
             )
             scale = f32(n_lights) / f32(nls)
             result = result + throughput * light_acc * scale
@@ -313,21 +328,24 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
         o = vwhere(cont, position, o)
         d = vwhere(cont, -incoming, d)
         alive = cont
-        return o, d, result, throughput, alive, num_dirac
+        return o, d, result, throughput, alive, num_dirac, overflow, queries
 
     # Rolled bounce loop: ONE compiled bounce body regardless of max_depth.
-    o, d, result, throughput, alive, num_dirac = jax.lax.fori_loop(
-        0, config.max_depth, bounce_body,
-        (o, d, result, throughput, alive, num_dirac),
+    o, d, result, throughput, alive, num_dirac, overflow, queries = (
+        jax.lax.fori_loop(
+            0, config.max_depth, bounce_body,
+            (o, d, result, throughput, alive, num_dirac, overflow0, queries0),
+        )
     )
-    return result
+    return result, overflow, queries
 
 
 @partial(jax.jit, static_argnames=("config", "rows"))
 def _render_path_pass(scene: SceneData, config: RenderConfig, camera: PerspectiveCamera,
                       si_chunk, row0=0, rows: int = 0):
     """Pixel rows [row0, row0+rows) × the pixel-sample indices in si_chunk;
-    returns the SUM image [rows, W, 3] (AoS only at this output boundary).
+    returns (SUM image [rows, W, 3] (AoS only at this output boundary),
+    overflow [] int32, queries [] int32 — see pathtrace_wave).
     rows=0 means the full height; row0 may be a traced scalar (bands of the
     same height share one compiled executable)."""
     w, h = config.width, config.height
@@ -356,7 +374,9 @@ def _render_path_pass(scene: SceneData, config: RenderConfig, camera: Perspectiv
     time_u = rngo.cmj_sample_1d(si.astype(jnp.uint32), ps * ps, perm_time)
 
     o, d, t = camera.make_rays(xu, yu, lens_u, lens_v, time_u)
-    radiance = pathtrace_wave(scene, config, o, d, t, px, py, si)
+    radiance, overflow, queries = pathtrace_wave(
+        scene, config, o, d, t, px, py, si
+    )
     img = jnp.stack(
         [
             radiance.x.reshape(n_si, h, w).sum(axis=0),
@@ -365,25 +385,32 @@ def _render_path_pass(scene: SceneData, config: RenderConfig, camera: Perspectiv
         ],
         axis=-1,
     )
-    return img
+    return img, overflow, queries
 
 
-def render_path(scene: SceneData, config: RenderConfig, camera: PerspectiveCamera):
+def render_path_with_stats(scene: SceneData, config: RenderConfig,
+                           camera: PerspectiveCamera):
     """Stage-5/6/7 path-traced render (box-filtered mean of spp² samples).
 
-    Waves are chunked to config.max_rays_per_pass lanes per device launch —
-    over sample indices first, then over pixel-row bands when a single
-    sample still exceeds the budget (large frames: keeps the traversal's
-    [N, K] intermediates inside comfortable HBM headroom)."""
+    Returns (image, overflow int, queries int). Waves are chunked to
+    config.max_rays_per_pass lanes per device launch — over sample indices
+    first, then over pixel-row bands when a single sample still exceeds the
+    budget (large frames: keeps the traversal's [N, K] intermediates inside
+    comfortable HBM headroom)."""
     spp_total = config.pixel_samples * config.pixel_samples
     w, h = config.width, config.height
     n_pix = w * h
     acc = np.zeros((h, w, 3), np.float32)
+    overflow = 0
+    queries = 0
     if n_pix <= config.max_rays_per_pass:
         chunk = max(1, min(spp_total, config.max_rays_per_pass // n_pix))
         for s0 in range(0, spp_total, chunk):
             si = jnp.arange(s0, min(s0 + chunk, spp_total), dtype=jnp.int32)
-            acc += np.asarray(_render_path_pass(scene, config, camera, si))
+            img, ovf, q = _render_path_pass(scene, config, camera, si)
+            acc += np.asarray(img)
+            overflow += int(ovf)
+            queries += int(q)
     else:
         band = max(1, config.max_rays_per_pass // w)
         n_bands = -(-h // band)
@@ -398,9 +425,26 @@ def render_path(scene: SceneData, config: RenderConfig, camera: PerspectiveCamer
                 )
                 for b in range(n_bands)
             ]
-            for b, out in enumerate(outs):
+            for b, (out, ovf, q) in enumerate(outs):
                 r0 = min(b * band, h - band)
                 done = b * band  # rows already accumulated by earlier bands
                 skip = max(0, done - r0)  # overlap of a shifted last band
                 acc[r0 + skip : r0 + band] += np.asarray(out)[skip:]
-    return acc / np.float32(spp_total)
+                overflow += int(ovf)
+                queries += int(q)
+    return acc / np.float32(spp_total), overflow, queries
+
+
+def render_path(scene: SceneData, config: RenderConfig, camera: PerspectiveCamera):
+    """render_path_with_stats, image only (the common call)."""
+    img, overflow, _ = render_path_with_stats(scene, config, camera)
+    if overflow:
+        import sys
+
+        print(
+            f"[rayito_tpu] WARNING: cluster-traversal candidate overflow x"
+            f"{overflow} — K1/K2 budgets exceeded; nearest hits may have been "
+            "dropped (see render/mesh_intersect.py)",
+            file=sys.stderr,
+        )
+    return img

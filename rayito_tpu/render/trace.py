@@ -51,6 +51,10 @@ class Hit:
     mat: jnp.ndarray  # [N] int32 material id; -1 = miss
     normal: V3  # [N] components
     color_mod: jnp.ndarray  # [N] scalar modifier (bullseye texture)
+    overflow: jnp.ndarray  # [] int32: cluster-traversal candidate truncations
+    # beyond the K1/K2 budgets (mesh_intersect.py). Nonzero means the bounded
+    # traversal MAY have dropped a nearest hit on a denser-than-budget scene;
+    # it is summed per render and surfaced via RenderStats / the CLI.
 
 
 def _eval_xf_pairwise(scene: SceneData, xf_ids, time):
@@ -223,13 +227,15 @@ def _mesh_candidate(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
     beta_best = jnp.zeros((n,), jnp.float32)
     gamma_best = jnp.zeros((n,), jnp.float32)
     rot_best = None
+    overflow = jnp.int32(0)
 
     for mi in range(scene.n_meshes):
         o_l, d_l, rotation = _mesh_local_ray(scene, mi, o, d, time)
         t_cap = jnp.minimum(t_best, tmax)
-        t_m, prim_m, beta_m, gamma_m, _ = mesh_intersect_clusters(
+        t_m, prim_m, beta_m, gamma_m, ovf_m = mesh_intersect_clusters(
             scene, mi, o_l, d_l, tmin, t_cap
         )
+        overflow = overflow + ovf_m
         closer = prim_m >= 0
         t_best = jnp.where(closer, t_m, t_best)
         prim_best = jnp.where(closer, prim_m, prim_best)
@@ -275,6 +281,7 @@ def _mesh_candidate(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
         jnp.where(valid, scene.mesh_mat[mesh_idx], -1),
         normal,
         jnp.ones_like(t_best),
+        overflow,
     )
 
 
@@ -310,6 +317,7 @@ def scene_intersect(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> Hit:
             jnp.where(closer, cm_c, cm_b),
         )
 
+    overflow = jnp.int32(0)
     if scene.n_planes:
         best = fold(best, _planes_candidate(scene, o, d, time, tmin, tmax))
     if scene.n_spheres:
@@ -317,7 +325,9 @@ def scene_intersect(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> Hit:
     if scene.n_rects:
         best = fold(best, _rects_candidate(scene, o, d, time, tmin, tmax))
     if scene.n_meshes:
-        best = fold(best, _mesh_candidate(scene, o, d, time, tmin, tmax))
+        cand = _mesh_candidate(scene, o, d, time, tmin, tmax)
+        overflow = cand[-1]
+        best = fold(best, cand[:-1])
 
     t, shape_id, mat, normal, color_mod = best
     valid = jnp.isfinite(t) & (t < tmax)
@@ -328,11 +338,14 @@ def scene_intersect(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> Hit:
         mat=jnp.where(valid, mat, -1),
         normal=normal,
         color_mod=jnp.where(valid, color_mod, 1.0),
+        overflow=overflow,
     )
 
 
-def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> jnp.ndarray:
-    """Any-hit shadow query (ShapeSet::doesIntersect). Returns bool [N]."""
+def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
+    """Any-hit shadow query (ShapeSet::doesIntersect).
+
+    Returns (occluded bool [N], overflow [] int32 — see Hit.overflow)."""
     n = o.shape[0]
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
     time = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
@@ -375,9 +388,10 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> jnp.ndar
 
     from .mesh_intersect import mesh_intersect_clusters
 
+    overflow = jnp.int32(0)
     for mi in range(scene.n_meshes):
         o_l, d_l, _ = _mesh_local_ray(scene, mi, o, d, time)
-        _, prim_m, _, _, _ = mesh_intersect_clusters(
+        _, prim_m, _, _, ovf_m = mesh_intersect_clusters(
             scene,
             mi,
             o_l,
@@ -387,8 +401,9 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> jnp.ndar
             any_hit=True,
         )
         occluded |= prim_m >= 0
+        overflow = overflow + ovf_m
 
-    return occluded
+    return occluded, overflow
 
 
 def material_row(scene: SceneData, mat_ids):

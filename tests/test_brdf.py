@@ -125,3 +125,38 @@ def test_kind_dispatch_matches_singles():
     kind_e = jnp.full((N,), brdf.KIND_EMITTER, jnp.int32)
     _, f_e, pdf_e = brdf.sample_sa(kind_e, expo, out, nrm, u1, u2)
     assert float(jnp.max(pdf_e)) == 0.0 and float(jnp.max(f_e)) == 0.0
+
+
+def test_psa_variants_roundtrip():
+    """PSA pdf x |n.i| == SA pdf for every kind; Dirac samplePSA pdf == 1
+    (RMaterial.h:60-87,417-423)."""
+    nrm, out = _normal_out()
+    u1, u2 = _u(), _u()
+    expo = jnp.full((N,), 9.0, jnp.float32)
+    for k in (brdf.KIND_LAMBERT, brdf.KIND_GLOSSY, brdf.KIND_REFLECTION):
+        kind = jnp.full((N,), k, jnp.int32)
+        inc, f_sa, pdf_sa_v = brdf.sample_sa(kind, expo, out, nrm, u1, u2)
+        inc_p, f_psa, pdf_psa_v = brdf.sample_psa(kind, expo, out, nrm, u1, u2)
+        np.testing.assert_allclose(
+            np.asarray(to_aos(inc_p)), np.asarray(to_aos(inc)), atol=0
+        )
+        np.testing.assert_allclose(np.asarray(f_psa), np.asarray(f_sa), atol=0)
+        cos_i = np.abs(np.asarray(dot(inc, nrm)))
+        np.testing.assert_allclose(
+            np.asarray(pdf_psa_v) * cos_i, np.asarray(pdf_sa_v),
+            atol=1e-6, rtol=1e-5,
+        )
+        if k == brdf.KIND_REFLECTION:
+            np.testing.assert_allclose(np.asarray(pdf_psa_v), 1.0, atol=1e-5)
+        # evaluate/pdf variants agree the same way (Dirac: both 0)
+        f_e, pdf_e = brdf.evaluate_sa(kind, expo, inc, out, nrm)
+        f_ep, pdf_ep = brdf.evaluate_psa(kind, expo, inc, out, nrm)
+        np.testing.assert_allclose(np.asarray(f_ep), np.asarray(f_e), atol=0)
+        np.testing.assert_allclose(
+            np.asarray(pdf_ep) * cos_i, np.asarray(pdf_e), atol=1e-6, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(brdf.pdf_psa(kind, expo, inc, out, nrm)) * cos_i,
+            np.asarray(brdf.pdf_sa(kind, expo, inc, out, nrm)),
+            atol=1e-6, rtol=1e-5,
+        )
