@@ -42,17 +42,28 @@ INF = np.float32(np.inf)
 @dataclasses.dataclass
 class KernelTables:
     """Host-side tables for one kernel launch domain (a mesh, or all
-    static meshes merged). tri0 maps cluster-local hits back to global
-    triangle ids: global = tri0 + cluster * KTRI + lane."""
+    static meshes merged). tri_base maps cluster-local hits back to global
+    triangle ids: global = tri_base[cluster] + lane. Per-cluster bases (not
+    a single offset) let one table merge meshes that are NOT contiguous in
+    the global triangle order."""
 
     tri: np.ndarray  # [C, KCOMP, 128] f32: v0/e1/e2 component rows
     cl_box: np.ndarray  # [8, C_pad] f32
     sc_box: np.ndarray  # [8, S_pad] f32
     root_min: np.ndarray  # [3] f32 whole-domain AABB (wavefront pre-cull)
     root_max: np.ndarray  # [3] f32
+    tri_base: np.ndarray  # [C_full] i32 global id of each cluster's lane 0
+    # piecewise-affine form of tri_base: ((cl_start, tri0), ...) per merged
+    # segment — lets hot paths compute global ids with a short where-chain
+    # instead of a [N]-indexed gather
+    seg: tuple
     n_clusters: int
     n_supers: int
-    tri0: int  # global id of this table's first triangle
+
+    @property
+    def tri0(self) -> int:
+        """Global id of the first triangle (single-segment tables)."""
+        return int(self.tri_base[0])
 
 
 # A degenerate far-away point box. NOT +inf/-inf: the slab test multiplies
@@ -77,13 +88,9 @@ def _box_table(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_kernel_tables(
-    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, valid: np.ndarray,
-    tri0: int = 0,
-) -> KernelTables:
-    """Build from triangles ALREADY in global order (padding rows included,
-    marked invalid). v*: [T, 3] f32; valid: [T] bool; tri0: global id of
-    row 0."""
+def _segment_clusters(v0, v1, v2, valid, tri0):
+    """One segment (a contiguous run of global triangle ids) -> per-cluster
+    (tri blocks [c, KCOMP, KTRI], cl_min [c, 3], cl_max [c, 3], base [c])."""
     f32 = np.float32
     t = v0.shape[0]
     c = max(1, -(-t // KTRI))
@@ -105,22 +112,51 @@ def build_kernel_tables(
     e1 = v1p - v0p
     e2 = v2p - v0p
 
-    s = -(-c // KSC)
-    c_full = s * KSC  # tri table padded to whole superclusters so a
-    # dynamically-indexed cluster block always exists
-    tri = np.zeros((c_full, KCOMP, KTRI), f32)
+    tri = np.zeros((c, KCOMP, KTRI), f32)
     for comp in range(3):
-        tri[:c, comp + 0, :] = v0p[:, comp].reshape(c, KTRI)
-        tri[:c, comp + 3, :] = e1[:, comp].reshape(c, KTRI)
-        tri[:c, comp + 6, :] = e2[:, comp].reshape(c, KTRI)
+        tri[:, comp + 0, :] = v0p[:, comp].reshape(c, KTRI)
+        tri[:, comp + 3, :] = e1[:, comp].reshape(c, KTRI)
+        tri[:, comp + 6, :] = e2[:, comp].reshape(c, KTRI)
 
     lo = np.minimum(np.minimum(v0p, v1p), v2p).reshape(c, KTRI, 3)
     hi = np.maximum(np.maximum(v0p, v1p), v2p).reshape(c, KTRI, 3)
     vmask = validp.reshape(c, KTRI, 1)
     cl_min = np.where(vmask, lo, INF).min(1).astype(f32)
     cl_max = np.where(vmask, hi, -INF).max(1).astype(f32)
+    base = tri0 + np.arange(c, dtype=np.int64) * KTRI
+    return tri, cl_min, cl_max, base
 
+
+def build_kernel_tables_multi(segments) -> KernelTables:
+    """Build one launch domain from MANY segments. Each segment is
+    (v0 [T,3], v1, v2, valid [T] bool, tri0) — triangles already in global
+    order within the segment, padding rows included and marked invalid.
+    Segments need not be contiguous with each other: tri_base records every
+    cluster's global lane-0 id."""
+    f32 = np.float32
+    parts = [_segment_clusters(*seg) for seg in segments]
+    seg_table = []
+    off = 0
+    for p, s in zip(parts, segments):
+        seg_table.append((off, int(s[4])))
+        off += p[0].shape[0]
+    tri_c = np.concatenate([p[0] for p in parts], 0)
+    cl_min = np.concatenate([p[1] for p in parts], 0)
+    cl_max = np.concatenate([p[2] for p in parts], 0)
+    base = np.concatenate([p[3] for p in parts], 0)
+    c = tri_c.shape[0]
+
+    s = -(-c // KSC)
+    c_full = s * KSC  # tri table padded to whole superclusters so a
+    # dynamically-indexed cluster block always exists
     cpad = c_full - c
+    tri = np.concatenate(
+        [tri_c, np.zeros((cpad, KCOMP, KTRI), f32)], 0
+    ) if cpad else tri_c
+    tri_base = np.concatenate(
+        [base, np.zeros(cpad, np.int64)]
+    ).astype(np.int32)
+
     cl_min_p = np.concatenate([cl_min, np.full((cpad, 3), INF, f32)], 0)
     cl_max_p = np.concatenate([cl_max, np.full((cpad, 3), -INF, f32)], 0)
     # supercluster box over real children only (inf rows are stripped by
@@ -130,9 +166,17 @@ def build_kernel_tables(
     sc_min = np.where(np.isfinite(grp_min), grp_min, INF).min(1)
     sc_max = np.where(np.isfinite(grp_max), grp_max, -INF).max(1)
 
-    any_valid = validp.any()
-    root_min = cl_min.min(0) if any_valid else np.full(3, INF, f32)
-    root_max = cl_max.max(0) if any_valid else np.full(3, -INF, f32)
+    any_valid = np.isfinite(cl_min).all(1).any()
+    root_min = (
+        np.where(np.isfinite(cl_min), cl_min, INF).min(0)
+        if any_valid
+        else np.full(3, INF, f32)
+    )
+    root_max = (
+        np.where(np.isfinite(cl_max), cl_max, -INF).max(0)
+        if any_valid
+        else np.full(3, -INF, f32)
+    )
 
     return KernelTables(
         tri=tri,
@@ -140,7 +184,16 @@ def build_kernel_tables(
         sc_box=_box_table(sc_min, sc_max),
         root_min=root_min.astype(f32),
         root_max=root_max.astype(f32),
+        tri_base=tri_base,
+        seg=tuple(seg_table),
         n_clusters=c,
         n_supers=s,
-        tri0=tri0,
     )
+
+
+def build_kernel_tables(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, valid: np.ndarray,
+    tri0: int = 0,
+) -> KernelTables:
+    """Single-segment convenience wrapper (one mesh)."""
+    return build_kernel_tables_multi([(v0, v1, v2, valid, tri0)])

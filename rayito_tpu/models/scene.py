@@ -445,6 +445,43 @@ class Scene:
             cl_off += cl.n_clusters
             sc_off += cl.n_supers
 
+        # --- Pallas traversal domains (accel/kernel_tables.py). All meshes
+        # with an IDENTITY transform merge into ONE world-space table (one
+        # kernel launch traverses them all — the role of the reference's
+        # scene-level Bvh<ShapeSet>, RScene.h:135-147); each transformed
+        # mesh gets its own table (rays enter in mesh-local space).
+        from ..accel.kernel_tables import build_kernel_tables_multi
+
+        static_segs = []
+        domain_specs = []  # (segments, xf_id)
+        for mi, cl in enumerate(cluster_list):
+            tp = cl.v0.shape[0]
+            seg = (
+                cl.v0,
+                cl.v1,
+                cl.v2,
+                np.arange(tp) < mesh_tri_count[mi],
+                mesh_tri_start[mi],
+            )
+            if mesh_xf[mi] == 0:
+                static_segs.append(seg)
+            else:
+                domain_specs.append(([seg], mesh_xf[mi]))
+        if static_segs:
+            domain_specs.insert(0, (static_segs, 0))
+        ktab_tri, ktab_box, ktab_base, ktab_xf, ktab_seg = [], [], [], [], []
+        for segs, xfi in domain_specs:
+            kt = build_kernel_tables_multi(segs)
+            ktab_tri.append(jnp.asarray(kt.tri))
+            ktab_box.append(jnp.asarray(kt.cl_box))
+            ktab_base.append(jnp.asarray(kt.tri_base))
+            ktab_xf.append(int(xfi))
+            ktab_seg.append(kt.seg)
+        # every domain's triangle table must be VMEM-resident during its
+        # launch; beyond ~12 MB (1536 clusters = 196k triangles) the scene
+        # falls back to the XLA cluster pipeline (render/mesh_intersect.py)
+        ktab_fits = all(t.size * 4 <= 12 * 2**20 for t in ktab_tri)
+
         # --- per-mesh triangle-area CDF (light sampling, RMesh.h:105-186).
         # The reference picks face ~ area then triangle-in-fan ~ area; the
         # product is exactly triangle ~ area, so a flat triangle CDF is
@@ -485,8 +522,16 @@ class Scene:
             gn = np.cross(av1 - av0, av2 - av0)
             gl = np.linalg.norm(gn, axis=-1, keepdims=True)
             tri_meta[:, 12:15] = gn / np.maximum(gl, 1e-37)
+            # packed vertex rows [T, 16]: v0 v1 v2 (9 floats) + pad — the
+            # winner re-test fetches one 64-byte row per lane instead of a
+            # 2 KB tri_rows row + take_along_axis (measured ~20 ms/wave)
+            tri_vert = np.zeros((t_off, 16), f32)
+            tri_vert[:, 0:3] = av0
+            tri_vert[:, 3:6] = av1
+            tri_vert[:, 6:9] = av2
         else:
             tri_meta = np.zeros((0, 16), f32)
+            tri_vert = np.zeros((0, 16), f32)
 
         # --- lights ---
         light_kind, light_index, light_shape_id, light_color, light_power = (
@@ -595,10 +640,17 @@ class Scene:
             sc_rows=dev(cat(sc_row_parts, (128,))),
             tri_rows=dev(cat(tri_row_parts, (512,))),
             tri_meta_rows=dev(tri_meta),
+            tri_vert_rows=dev(tri_vert),
             mat_rows=dev(mat_rows),
             mesh_cl_ranges=tuple(mesh_cl_ranges),
             mesh_sc_ranges=tuple(mesh_sc_ranges),
             mesh_tri_ranges=tuple(mesh_tri_ranges),
+            ktab_tri=tuple(ktab_tri),
+            ktab_box=tuple(ktab_box),
+            ktab_base=tuple(ktab_base),
+            ktab_xf=tuple(ktab_xf),
+            ktab_seg=tuple(ktab_seg),
+            ktab_fits=ktab_fits,
             light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
             light_index=dev(np.array(light_index, i32).reshape(n_l)),
             light_shape_id=dev(np.array(light_shape_id, i32).reshape(n_l)),
@@ -671,6 +723,7 @@ class SceneData:
     sc_rows: jnp.ndarray  # [S, 128]
     tri_rows: jnp.ndarray  # [C, 512]
     tri_meta_rows: jnp.ndarray  # [T, 16]
+    tri_vert_rows: jnp.ndarray  # [T, 16] v0/v1/v2 (winner re-test rows)
     mat_rows: jnp.ndarray  # [M, 8]
     # lights
     light_kind: jnp.ndarray
@@ -699,6 +752,17 @@ class SceneData:
     mesh_cl_ranges: tuple = dataclasses.field(metadata=dict(static=True), default=())
     mesh_sc_ranges: tuple = dataclasses.field(metadata=dict(static=True), default=())
     mesh_tri_ranges: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # Pallas traversal domains (accel/kernel_tables.py): per domain a
+    # VMEM-resident triangle table, cluster AABB table, per-cluster global
+    # triangle id base, and the domain's transform id (0 = world space)
+    ktab_tri: tuple = ()  # tuple of [C, 16, 128] f32
+    ktab_box: tuple = ()  # tuple of [8, C_pad] f32
+    ktab_base: tuple = ()  # tuple of [C] i32
+    ktab_xf: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # per-domain ((cl_start, tri0), ...) piecewise-affine cluster -> global
+    # triangle id map (see accel/kernel_tables.py)
+    ktab_seg: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    ktab_fits: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     # -- static (trace-time) counts --
     @property

@@ -263,18 +263,13 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
             zero,
             overflow,
         )
-    # barycentrics of the winning triangle: one packed row gather + re-test
+    # barycentrics of the winning triangle: one packed vertex-row gather
+    # ([N, 16] — scene.tri_vert_rows) + re-test
     pr_safe = jnp.maximum(prim_best, 0)
-    rel = pr_safe - tri0
-    win_cl = rel // T
-    win_j = rel - win_cl * T
-    wrow = scene.tri_rows[cl0 + win_cl]  # [N, 512]
-    # ONE take_along_axis for all 9 vertex components
-    cols9 = win_j[:, None] + jnp.arange(9, dtype=jnp.int32)[None, :] * T
-    comps = jnp.take_along_axis(wrow, cols9, axis=1)  # [N, 9]
-    wv0 = V3(comps[:, 0], comps[:, 1], comps[:, 2])
-    wv1 = V3(comps[:, 3], comps[:, 4], comps[:, 5])
-    wv2 = V3(comps[:, 6], comps[:, 7], comps[:, 8])
+    vrow = scene.tri_vert_rows[pr_safe]
+    wv0 = V3(vrow[:, 0], vrow[:, 1], vrow[:, 2])
+    wv1 = V3(vrow[:, 3], vrow[:, 4], vrow[:, 5])
+    wv2 = V3(vrow[:, 6], vrow[:, 7], vrow[:, 8])
     from ..ops.intersect import triangle_intersect
 
     t_fin, h_fin, beta, gamma, _ = triangle_intersect(

@@ -48,9 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.kernel_tables import KTRI
 
-B = 256  # rays per ray-block (one MT sublane extent; mask granularity)
-RB = 8  # ray-blocks per grid step
-SB = B * RB  # rays per grid step
+SB = 2048  # rays per grid step
+# rays per ray-block (mask granularity: one cluster MT block serves the
+# UNION of its B rays' slab-hit clusters — smaller B = tighter unions but
+# more scalar-core scans; env-tunable for hardware sweeps)
+B = int(os.environ.get("RAYITO_TRAVERSE_B", "256"))
+RB = SB // B  # ray-blocks per grid step
 _INF = float("inf")  # python scalar: folds into kernel constants
 _IMAX = jnp.iinfo(jnp.int32).max
 
@@ -145,21 +148,28 @@ def _traverse_kernel(
             cbest_ref[:] = jnp.where(better, c, cbest_ref[:])
 
         # scalar-core bit-scan of this block's cluster mask: iterate set
-        # bits lowest-first, one unconditional MT block per set bit
-        for w in range(n_words):  # static
+        # bits lowest-first, one unconditional MT block per set bit. The
+        # word loop is a fori_loop so the MT body is inlined ONCE per
+        # ray-block (a statically unrolled word loop multiplied Mosaic
+        # compile time by n_words).
+        def scan_word(w, carry):
             def has_bits(s):
-                return s != 0
+                return s[1] != 0
 
-            def next_bit(bits, w=w):
+            def next_bit(s):
+                w, bits = s
                 low = bits & -bits
                 idx = jax.lax.shift_right_logical(
                     low * jnp.int32(_DEBRUIJN_MUL), 27
                 )
                 c = w * 32 + ctz_ref[idx]
                 mt(c)
-                return bits & (bits - 1)
+                return w, bits & (bits - 1)
 
-            jax.lax.while_loop(has_bits, next_bit, mask_ref[blk, w])
+            jax.lax.while_loop(has_bits, next_bit, (w, mask_ref[blk, w]))
+            return carry
+
+        jax.lax.fori_loop(0, n_words, scan_word, 0)
 
         cb = cbest_ref[:]
         found = cb >= 0
@@ -252,11 +262,73 @@ def _block_masks(ox, oy, oz, ix, iy, iz, tmin, tmax, cl_box, n_blocks):
     return jax.lax.bitcast_convert_type(words, jnp.int32)
 
 
+def _part1by2(x):
+    """Spread the low 9 bits of x so they occupy every 3rd bit."""
+    x = x & 0x1FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _coherence_key(ox, oy, oz, dx, dy, dz, tmax, cl_box, tmin):
+    """Ray-sort key: (root-miss flag, morton cell of the root-box entry
+    point, direction octant). Purely a performance heuristic — results are
+    inverse-permuted so ANY key yields identical output; a good key packs
+    rays with overlapping candidate-cluster sets into the same mask block.
+    Root box derived from the cluster table (NEVER_HIT pad lanes stripped)."""
+    rmin = jnp.min(cl_box[0:3], axis=1)
+    mx = jnp.where(cl_box[3:6] >= 1e29, -jnp.float32(_INF), cl_box[3:6])
+    rmax = jnp.max(mx, axis=1)
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    tx0 = (rmin[0] - ox) * ix
+    ty0 = (rmin[1] - oy) * iy
+    tz0 = (rmin[2] - oz) * iz
+    tx1 = (rmax[0] - ox) * ix
+    ty1 = (rmax[1] - oy) * iy
+    tz1 = (rmax[2] - oz) * iz
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.minimum(tz0, tz1),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.maximum(tz0, tz1),
+    )
+    live = (jnp.maximum(near, tmin) <= jnp.minimum(far, tmax)) & (tmax > tmin)
+    tn = jnp.clip(near, 0.0, 3e38)
+    ext = jnp.maximum(rmax - rmin, 1e-30)
+    qx = jnp.clip((ox + dx * tn - rmin[0]) / ext[0] * 512.0, 0.0, 511.0)
+    qy = jnp.clip((oy + dy * tn - rmin[1]) / ext[1] * 512.0, 0.0, 511.0)
+    qz = jnp.clip((oz + dz * tn - rmin[2]) / ext[2] * 512.0, 0.0, 511.0)
+    morton = (
+        (_part1by2(qx.astype(jnp.int32)) << 2)
+        | (_part1by2(qy.astype(jnp.int32)) << 1)
+        | _part1by2(qz.astype(jnp.int32))
+    )
+    octant = (
+        (dx < 0).astype(jnp.int32) * 4
+        + (dy < 0).astype(jnp.int32) * 2
+        + (dz < 0).astype(jnp.int32)
+    )
+    key = (morton << 3) | octant
+    return jnp.where(live, key, jnp.int32(1) << 30)
+
+
 def traverse(o, d, tmax, tables, tmin: float, n_active=None,
-             interpret: bool | None = None):
+             interpret: bool | None = None, sort_rays: bool | None = None,
+             want_t: bool = True):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
-    table-local triangle id or -1).
+    table-local triangle id or -1). With ``want_t=False`` t is returned as
+    None and skipped from the inverse permutation (cheaper unsort) — for
+    callers that re-derive exact t from the winning primitive anyway.
+
+    ``sort_rays`` permutes the wavefront by a spatial-coherence key before
+    blocking (tightening per-block cluster unions) and inverse-permutes the
+    results — bit-identical output either way. Defaults on for compiled
+    runs, off under the interpreter (tests exercise both).
 
     ``n_active`` is accepted for interface parity but unused: inactive /
     padded lanes carry tmax<=0, produce empty candidate masks, and cost
@@ -265,32 +337,96 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     n = o.x.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if sort_rays is None:
+        sort_rays = not interpret
     n_steps = max(1, -(-n // SB))
     n_pad = n_steps * SB - n
 
-    def prep(a, fill):
-        a = jnp.asarray(a, jnp.float32)
-        if n_pad:
-            a = jnp.concatenate([a, jnp.full((n_pad,), fill, jnp.float32)])
-        return a
+    # Pack the whole ray SoA into ONE [Npad, 8] row array up front: the
+    # sort permutation is then a single row gather (eight separate
+    # per-component [N] gathers measured ~0.94 ms EACH on hardware — 4-byte
+    # gather rows are the pathological case), and the packed form IS the
+    # kernel's soat layout.
+    f32 = jnp.float32
+    soa8 = jnp.stack(
+        [
+            jnp.asarray(o.x, f32), jnp.asarray(o.y, f32),
+            jnp.asarray(o.z, f32), jnp.asarray(d.x, f32),
+            jnp.asarray(d.y, f32), jnp.asarray(d.z, f32),
+            jnp.broadcast_to(jnp.asarray(tmax, f32), (n,)),
+            jnp.zeros((n,), f32),
+        ],
+        axis=1,
+    )
+    if n_pad:
+        pad_row = jnp.zeros((n_pad, 8), f32).at[:, 3:6].set(1.0)
+        soa8 = jnp.concatenate([soa8, pad_row])  # tmax 0 -> no candidates
 
-    oxp, oyp, ozp = prep(o.x, 0.0), prep(o.y, 0.0), prep(o.z, 0.0)
-    dxp, dyp, dzp = prep(d.x, 1.0), prep(d.y, 1.0), prep(d.z, 1.0)
-    tmaxp = prep(tmax, 0.0)  # padded lanes: tmax 0 -> no candidates
+    col = lambda k: soa8[:, k]
+
+    # Coherence sort: "global" sorts the whole wavefront (measured best —
+    # incoherent bounce/shadow rays need global regrouping; a per-step
+    # "step" sort is cheaper per pass but leaves each 2048-ray step's
+    # blocks spanning the whole key range and lost 1.3-3.5x on hardware).
+    perm_local = None
+    mode = os.environ.get("RAYITO_TRAVERSE_SORT", "global")
+    if not sort_rays:
+        mode = "off"
+    if mode != "off":
+        key = _coherence_key(
+            col(0), col(1), col(2), col(3), col(4), col(5), col(6),
+            jnp.asarray(tables.cl_box), float(tmin),
+        )
+        n_tot = n_steps * SB
+        if mode == "global":
+            lane_ids = jnp.arange(n_tot, dtype=jnp.int32)
+            if n_tot <= (1 << 17):
+                # pack (coarse key, lane id) into ONE operand: a 1-op sort
+                # is ~2x cheaper than 2-op. 13 coarse key bits (miss flag +
+                # morton MSBs) give ~16-ray buckets at 131k lanes — far
+                # finer than the 256-ray block granularity that matters.
+                packed = ((key >> 17) << 17) | lane_ids
+                perm = jax.lax.sort(packed) & jnp.int32((1 << 17) - 1)
+            else:
+                _, perm = jax.lax.sort((key, lane_ids), num_keys=1)
+        else:
+            ids2 = jnp.broadcast_to(
+                jnp.arange(SB, dtype=jnp.int32)[None, :], (n_steps, SB)
+            )
+            _, pl_ = jax.lax.sort(
+                (key.reshape(n_steps, SB), ids2), dimension=1, num_keys=1
+            )
+            perm_local = pl_
+            perm = (
+                jnp.arange(n_steps, dtype=jnp.int32)[:, None] * SB + pl_
+            ).reshape(-1)
+        soa8 = soa8[perm]  # ONE row gather for all 8 components
 
     masks = _block_masks(
-        oxp, oyp, ozp, 1.0 / dxp, 1.0 / dyp, 1.0 / dzp,
-        float(tmin), tmaxp, tables.cl_box, n_steps * RB,
+        col(0), col(1), col(2),
+        1.0 / col(3), 1.0 / col(4), 1.0 / col(5),
+        float(tmin), col(6), tables.cl_box, n_steps * RB,
     )
-    soat = jnp.stack(
-        [oxp, oyp, ozp, dxp, dyp, dzp, tmaxp,
-         jnp.zeros(n_steps * SB, jnp.float32)],
-        axis=1,
-    ).reshape(n_steps, SB, 8)
+    soat = soa8.reshape(n_steps, SB, 8)
 
     t_bn, p_bn = _traverse_blocks(
         masks, soat, tables.tri, tmin=float(tmin), interpret=bool(interpret)
     )
-    t = t_bn.reshape(n_steps * SB)[:n]
-    prim = p_bn.reshape(n_steps * SB)[:n]
-    return t, prim
+    if mode == "off":
+        t = t_bn.reshape(n_steps * SB)
+        prim = p_bn.reshape(n_steps * SB)
+    elif perm_local is not None:  # step mode: per-row inverse permutation
+        ops = (perm_local, p_bn.reshape(n_steps, SB)) + (
+            (t_bn.reshape(n_steps, SB),) if want_t else ()
+        )
+        outs = jax.lax.sort(ops, dimension=1, num_keys=1)
+        prim = outs[1].reshape(n_steps * SB)
+        t = outs[2].reshape(n_steps * SB) if want_t else None
+    else:
+        ops = (perm, p_bn.reshape(-1)) + (
+            (t_bn.reshape(-1),) if want_t else ()
+        )
+        outs = jax.lax.sort(ops, num_keys=1)
+        prim = outs[1]
+        t = outs[2] if want_t else None
+    return (t[:n] if t is not None else None), prim[:n]

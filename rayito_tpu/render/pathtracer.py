@@ -62,12 +62,12 @@ def _mat_lookup(scene: SceneData, mat_ids):
 
 
 def _select_by_light(stacked, light_idx):
-    """stacked [L, N] -> per-lane selection by light_idx [N]."""
-    if stacked.shape[0] == 1:
-        return stacked[0]
-    return jnp.take_along_axis(
-        stacked, light_idx[None, :].astype(jnp.int32), axis=0
-    )[0]
+    """stacked [L, N] -> per-lane selection by light_idx [N] via a
+    where-chain (L is small; fuses into the elementwise stream)."""
+    out = stacked[0]
+    for li in range(1, stacked.shape[0]):
+        out = jnp.where(light_idx == li, stacked[li], out)
+    return jnp.broadcast_to(out, stacked.shape[1:])
 
 
 def _select_v3_by_light(stacked: V3, light_idx) -> V3:
@@ -113,7 +113,11 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
 
     def bounce_body(bounce, carry):
         o, d, result, throughput, alive, num_dirac, overflow, queries = carry
-        hit = scene_intersect(scene, o, d, time, tmin, jnp.full((n,), RAY_TMAX, f32))
+        # dead lanes trace with tmax 0: they produce no candidates in the
+        # traversal (and the coherence sort groups them into empty blocks)
+        hit = scene_intersect(
+            scene, o, d, time, tmin, jnp.where(alive, RAY_TMAX, 0.0)
+        )
         overflow = overflow + hit.overflow
         queries = queries + jnp.sum(alive.astype(jnp.int32))
         lane = alive & hit.valid
@@ -198,7 +202,11 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                     ),
                     light_idx,
                 )
-                chosen_sid = scene.light_shape_id[light_idx]
+                from .trace import select_small
+
+                chosen_sid = select_small(
+                    scene.light_shape_id, light_idx, n_lights
+                )
 
                 # --- light-sampled direction
                 light_incoming = position - lp

@@ -59,19 +59,23 @@ def _check(o, d, tmax, v0, v1, v2, valid, tmin=1e-4):
     v1c[~valid] = 0
     v2c[~valid] = 0
     tbl = _Tbl(build_kernel_tables(v0, v1, v2, valid))
-    t_k, p_k = traverse(
-        V3(*(jnp.asarray(o[:, k]) for k in range(3))),
-        V3(*(jnp.asarray(d[:, k]) for k in range(3))),
-        jnp.asarray(tmax), tbl, tmin, interpret=True,
-    )
-    t_k, p_k = np.asarray(t_k), np.asarray(p_k)
     t_b, p_b = _brute(o, d, tmin, tmax, v0c, v1c, v2c, valid)
-    np.testing.assert_array_equal(np.isfinite(t_k), np.isfinite(t_b))
-    both = np.isfinite(t_k)
-    if both.any():
-        rel = np.abs(t_k[both] - t_b[both]) / np.maximum(t_b[both], 1e-6)
-        assert rel.max() < 1e-4  # key-packing slack is 2^-17
-        np.testing.assert_array_equal(p_k[both], p_b[both])
+    both = None
+    # sort_rays permutes + inverse-permutes: output must be identical
+    for sort_rays in (False, True):
+        t_k, p_k = traverse(
+            V3(*(jnp.asarray(o[:, k]) for k in range(3))),
+            V3(*(jnp.asarray(d[:, k]) for k in range(3))),
+            jnp.asarray(tmax), tbl, tmin, interpret=True,
+            sort_rays=sort_rays,
+        )
+        t_k, p_k = np.asarray(t_k), np.asarray(p_k)
+        np.testing.assert_array_equal(np.isfinite(t_k), np.isfinite(t_b))
+        both = np.isfinite(t_k)
+        if both.any():
+            rel = np.abs(t_k[both] - t_b[both]) / np.maximum(t_b[both], 1e-6)
+            assert rel.max() < 1e-4  # key-packing slack is 2^-17
+            np.testing.assert_array_equal(p_k[both], p_b[both])
     return int(both.sum())
 
 
