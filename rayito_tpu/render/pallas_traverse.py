@@ -51,8 +51,11 @@ from ..accel.kernel_tables import KTRI
 SB = 2048  # rays per grid step
 # rays per ray-block (mask granularity: one cluster MT block serves the
 # UNION of its B rays' slab-hit clusters — smaller B = tighter unions but
-# more scalar-core scans; env-tunable for hardware sweeps)
-B = int(os.environ.get("RAYITO_TRAVERSE_B", "256"))
+# more scalar-core scans; env-tunable for hardware sweeps). Measured on
+# v5e, incoherent 131k-ray waves on the stage-6 domain: 128 beats 256 by
+# 1.2-1.6x (tighter unions dominate the extra scans); 64 exceeds the 1 MB
+# SMEM budget for the prefetched mask operand.
+B = int(os.environ.get("RAYITO_TRAVERSE_B", "128"))
 RB = SB // B  # ray-blocks per grid step
 _INF = float("inf")  # python scalar: folds into kernel constants
 _IMAX = jnp.iinfo(jnp.int32).max
@@ -99,10 +102,12 @@ def _traverse_kernel(
     step = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, KTRI), 1)
 
-    for r in range(RB):  # static: every slice below is a free view
+    def ray_block(r, carry):  # fori_loop: ONE copy of the MT machinery
+        # regardless of RB (a static python loop multiplied Mosaic compile
+        # time by RB — >9 min at RB=16)
         lo = r * B
         blk = step * RB + r
-        rd = lambda k: soat_ref[0, lo : lo + B, k : k + 1]
+        rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
         ox, oy, oz = rd(0), rd(1), rd(2)
         dx, dy, dz = rd(3), rd(4), rd(5)
         tmax = rd(6)
@@ -174,10 +179,13 @@ def _traverse_kernel(
         cb = cbest_ref[:]
         found = cb >= 0
         t_out = pltpu.bitcast(kbest_ref[:] & ~jnp.int32(KTRI - 1), jnp.float32)
-        tout_ref[0, lo : lo + B, :] = jnp.where(found, t_out, _INF)
-        pout_ref[0, lo : lo + B, :] = jnp.where(
+        tout_ref[0, pl.ds(lo, B), :] = jnp.where(found, t_out, _INF)
+        pout_ref[0, pl.ds(lo, B), :] = jnp.where(
             found, cb * KTRI + (kbest_ref[:] & jnp.int32(KTRI - 1)), -1
         )
+        return carry
+
+    jax.lax.fori_loop(0, RB, ray_block, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tmin", "interpret"))
@@ -221,6 +229,105 @@ def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool):
         grid_spec=grid_spec,
         interpret=interpret,
     )(masks, ctz, soat, tri)
+
+
+def _mask_kernel(
+    soat_ref,  # [1, SB, 8] f32 rays (same layout as the traversal kernel)
+    box_ref,  # [8, C_pad] f32 cluster slab rows
+    pack_ref,  # [C_pad, 64] f32 bit-pack weights (lo 32 cols | hi 32 cols)
+    out_ref,  # [1, RB, 64] f32 packed halves (lo | hi), combined outside
+    *, tmin: float, n_words: int,
+):
+    """Per-ray-block cluster masks, VMEM-resident. The XLA version of this
+    computation fused perfectly in isolation (1.74 ms/131k rays) but inside
+    the full bounce-body jit XLA split it into ~7 fusions per traversal that
+    materialize [N, C_pad] f32 intermediates through HBM — measured 78 of a
+    113 ms band. Here every [B, C_pad] intermediate lives in VMEM.
+
+    Bit-packing without lane relayouts: the [1, C_pad] any-hit row is
+    matmul'd (MXU) against constant 0/2^k weights, 16 bits per half so every
+    partial sum is an exact small integer in f32."""
+    del n_words
+    box = box_ref[...]
+
+    def ray_block(r, carry):
+        lo = r * B
+        rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
+        ox, oy, oz = rd(0), rd(1), rd(2)
+        dx, dy, dz = rd(3), rd(4), rd(5)
+        tmax = rd(6)
+        ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+        tx0 = (box[0:1, :] - ox) * ix
+        ty0 = (box[1:2, :] - oy) * iy
+        tz0 = (box[2:3, :] - oz) * iz
+        tx1 = (box[3:4, :] - ox) * ix
+        ty1 = (box[4:5, :] - oy) * iy
+        tz1 = (box[5:6, :] - oz) * iz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        hit = (jnp.maximum(near, tmin) <= jnp.minimum(far, tmax)) & (
+            far >= tmin
+        )
+        any_hit = jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True)
+        halves = jnp.dot(
+            any_hit, pack_ref[...], preferred_element_type=jnp.float32
+        )  # [1, 64]
+        out_ref[0, pl.ds(r, 1), :] = halves
+        return carry
+
+    jax.lax.fori_loop(0, RB, ray_block, 0)
+
+
+def _pack_weights(c_pad: int, n_words: int):
+    """[C_pad, 64] f32: column w in [0,32) holds 2^(c%16) for clusters c
+    with c//32==w and c%32<16 (low half); columns 32+w the high half."""
+    import numpy as np
+
+    wts = np.zeros((c_pad, 64), np.float32)
+    for c in range(min(c_pad, n_words * 32)):
+        w, b = divmod(c, 32)
+        if b < 16:
+            wts[c, w] = float(1 << b)
+        else:
+            wts[c, 32 + w] = float(1 << (b - 16))
+    return jnp.asarray(wts)
+
+
+@functools.partial(jax.jit, static_argnames=("tmin", "n_words", "interpret"))
+def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
+                        interpret: bool):
+    """soat: [n_steps, SB, 8] f32. Returns [n_blocks, n_words] i32 masks
+    (same contract as _block_masks)."""
+    n_steps = soat.shape[0]
+    box = jnp.asarray(cl_box)
+    c_pad = box.shape[1]
+    wts = _pack_weights(c_pad, n_words)
+    halves = pl.pallas_call(
+        functools.partial(_mask_kernel, tmin=float(tmin), n_words=n_words),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, SB, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RB, 64), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, RB, 64), jnp.float32),
+        interpret=interpret,
+    )(soat, box, wts)
+    lo = halves[..., 0:32].astype(jnp.int32)
+    hi = halves[..., 32:64].astype(jnp.int32)
+    words = (lo | (hi << 16)).reshape(n_steps * RB, 32)
+    return words[:, :n_words]
 
 
 def _block_masks(ox, oy, oz, ix, iy, iz, tmin, tmax, cl_box, n_blocks):
@@ -402,12 +509,19 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
             ).reshape(-1)
         soa8 = soa8[perm]  # ONE row gather for all 8 components
 
-    masks = _block_masks(
-        col(0), col(1), col(2),
-        1.0 / col(3), 1.0 / col(4), 1.0 / col(5),
-        float(tmin), col(6), tables.cl_box, n_steps * RB,
-    )
     soat = soa8.reshape(n_steps, SB, 8)
+    c_pad = jnp.asarray(tables.cl_box).shape[1]
+    n_words = -(-c_pad // 32)
+    if n_words <= 32:
+        masks = _block_masks_pallas(
+            soat, tables.cl_box, float(tmin), n_words, bool(interpret)
+        )
+    else:  # >1024 clusters: bit-pack weights don't fit one matmul — XLA path
+        masks = _block_masks(
+            col(0), col(1), col(2),
+            1.0 / col(3), 1.0 / col(4), 1.0 / col(5),
+            float(tmin), col(6), tables.cl_box, n_steps * RB,
+        )
 
     t_bn, p_bn = _traverse_blocks(
         masks, soat, tables.tri, tmin=float(tmin), interpret=bool(interpret)

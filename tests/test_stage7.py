@@ -206,16 +206,35 @@ def test_dof_camera_rays():
 def test_mesh_shape_light():
     """A mesh wrapped as a ShapeLight illuminates a lambert plane — the
     MAKE_OBJ_A_MESH_LIGHT capability (Rayito_Stage7_QT/MainWindow.cpp:195-199).
-    Validated against f64 quadrature of the direct integral."""
-    from rayito_tpu.models.demo import make_cube
+    Validated against f64 quadrature of the direct integral.
+
+    The light is a purpose-built 2-triangle quad with its geometric normal
+    facing the plane (-y), so the analytic reference is exact. (The
+    reference's hand-built cube is deliberately NOT usable here: its quads
+    wind inward, it has no bottom face, and the top face is duplicated
+    (MainWindow.cpp:93-137) — faithful in make_cube — so every face that
+    passes the ShapeLight facing test (RLight.h:305-309) is self-occluded
+    and the converged image is dominated by MIS partial weights, not by the
+    direct integral.)"""
+    from rayito_tpu.models.scene import TriangleMesh
 
     albedo = 0.8
     power = 5.0
+    verts = np.array(
+        [[-0.5, 3.0, -0.5], [0.5, 3.0, -0.5], [0.5, 3.0, 0.5],
+         [-0.5, 3.0, 0.5]],
+        np.float32,
+    )
+    # winding chosen so cross(p1-p0, p2-p0) == -y (toward the plane)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
     s = rt.Scene()
     s.add(rt.Plane((0, 0, 0), (0, 1, 0), rt.DiffuseMaterial((albedo,) * 3)))
-    cube = make_cube(rt.DiffuseMaterial((1, 1, 1)))
-    cube.transform = rt.Transform(times=[0.0], translations=[(-0.5, 3.0, -0.5)])
-    s.add(rt.ShapeLight(cube, (1.0, 1.0, 1.0), power))
+    quad = TriangleMesh(
+        vertices=verts, indices=tris,
+        material=rt.DiffuseMaterial((1, 1, 1)),
+        face_ids=np.array([0, 0], np.int32),
+    )
+    s.add(rt.ShapeLight(quad, (1.0, 1.0, 1.0), power))
     scene = s.compile()
     assert scene.light_kinds_host == (2,)
 
@@ -228,8 +247,7 @@ def test_mesh_shape_light():
     got = img[10:14, 10:14, 0].mean()
 
     # f64 quadrature: direct illumination at the plane point under the camera
-    # (x=3, z=0) from the cube's downward face y=3 (x,z in [-0.5, 0.5]);
-    # other faces are backfacing (rejected) or edge-on (cos ~ 0)
+    # (x=3, z=0) from the quad at y=3 (x,z in [-0.5, 0.5])
     res = 600
     u = (np.arange(res) + 0.5) / res - 0.5
     xx, zz = np.meshgrid(u, u, indexing="ij")
