@@ -91,22 +91,20 @@ def _pack_key(t_f32, lane):
 
 
 def _traverse_kernel(
-    mask_ref,  # scalar-prefetch [n_blocks, n_words] i32 cluster bit-masks
     ctz_ref,  # scalar-prefetch [32] i32 de Bruijn ctz table
+    mask_ref,  # [1, RB, n_words] i32 cluster bit-masks, SMEM block per step
     soat_ref,  # [1, SB, 8] f32: ox oy oz dx dy dz tmax pad, rays on sublanes
     tri_ref,  # [C, 16, KTRI] f32 triangle table (VMEM-resident)
     tout_ref, pout_ref,  # [1, SB, 1]
     kbest_ref, cbest_ref,  # [B, 1] i32 scratch
     *, n_words: int, tmin: float,
 ):
-    step = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, KTRI), 1)
 
     def ray_block(r, carry):  # fori_loop: ONE copy of the MT machinery
         # regardless of RB (a static python loop multiplied Mosaic compile
         # time by RB — >9 min at RB=16)
         lo = r * B
-        blk = step * RB + r
         rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
         ox, oy, oz = rd(0), rd(1), rd(2)
         dx, dy, dz = rd(3), rd(4), rd(5)
@@ -171,7 +169,7 @@ def _traverse_kernel(
                 mt(c)
                 return w, bits & (bits - 1)
 
-            jax.lax.while_loop(has_bits, next_bit, (w, mask_ref[blk, w]))
+            jax.lax.while_loop(has_bits, next_bit, (w, mask_ref[0, r, w]))
             return carry
 
         jax.lax.fori_loop(0, n_words, scan_word, 0)
@@ -191,26 +189,36 @@ def _traverse_kernel(
 @functools.partial(jax.jit, static_argnames=("tmin", "interpret"))
 def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool):
     """masks: [n_blocks, n_words] i32; soat: [n_steps, SB, 8] f32.
-    Returns (t, prim) each [n_steps, SB, 1]."""
+    Returns (t, prim) each [n_steps, SB, 1].
+
+    Masks ride as a pipelined per-step SMEM block, NOT a scalar-prefetch
+    operand: prefetch materializes the whole array in SMEM at ~32 B per
+    entry, which caps n_blocks*n_words at 32k entries (1 MB) — hit by both
+    B=64 and merged 262k-ray occlusion launches."""
     n_steps = soat.shape[0]
     n_words = masks.shape[1]
     c = tri.shape[0]
+    masks3 = masks.reshape(n_steps, RB, n_words)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(
-                (1, SB, 8), lambda i, m, z: (i, 0, 0),
+                (1, RB, n_words), lambda i, z: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, SB, 8), lambda i, z: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (c, 16, KTRI), lambda i, m, z: (0, 0, 0),
+                (c, 16, KTRI), lambda i, z: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, SB, 1), lambda i, m, z: (i, 0, 0),
+                (1, SB, 1), lambda i, z: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ) * 2,
@@ -228,7 +236,7 @@ def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool):
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(masks, ctz, soat, tri)
+    )(ctz, masks3, soat, tri)
 
 
 def _mask_kernel(
