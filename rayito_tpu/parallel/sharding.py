@@ -74,10 +74,16 @@ def _sharded_pass(scene, config, camera, px, py, si, mesh_axes, n_pad):
             P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS),
             P(TILE_AXIS), P(TILE_AXIS),
         ),
-        # the BVH while_loop carries mix replicated-initialized state
-        # (node cursors from the replicated scene root) with varying ray
-        # state; vma checking rejects that even though the program is
-        # correct, so it is disabled here.
+        # The XLA cluster traversal's while_loop carries mix
+        # replicated-initialized state (slot buffers, counters) with varying
+        # ray state; vma checking rejects that even though the program is
+        # correct. Re-verified after the round-2 traversal rewrite
+        # (2026-08-17): JAX's suggested fix is jax.lax.pcast(...,
+        # ('tiles',), to='varying') on the carry inits, which would leak
+        # this module's mesh-axis name into the intersect layer — deriving
+        # the inits from varying operands (tmax[0]*0) does NOT satisfy the
+        # checker. Keeping the check disabled is the lesser evil; the
+        # 8-device == 1-device bit-identity tests pin correctness instead.
         check_vma=False,
     )(scene, camera, px, py, si)
 

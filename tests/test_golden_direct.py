@@ -26,6 +26,15 @@ We therefore assert <2% RMSE on stage 2 and calibrated bounds on stage 3/4
 f64 scalar oracle of the exact stage-3 algorithm in test_oracle_stage3.py.
 Note the stage-4 golden is byte-identical to stage-3's (verified below), so
 one test covers both.
+
+MECHANICAL CONFIRMATION (test_mwc_oracle.py + tools/oracle/mwc_oracle.cpp):
+an f32 oracle replaying the reference's exact sequential MWC stream
+reproduces the stage-2 golden BIT-EXACTLY, while the same oracle lands at
+2.88% RMSE on stage 3 — and perturbing its own arithmetic by one
+compiler-level ulp (FMA contraction) moves its output by 1.90% RMSE. The
+stage-3 golden is thus chaos-limited at ~2-3% for ANY reimplementation;
+the <7% bound here adds our (different, counter-based CMJ) sampler's MC
+noise on top of that floor.
 """
 
 import dataclasses
