@@ -12,7 +12,10 @@ inflated by dense-lane padding and stays comparable when lane-compaction
 optimizations land (it only gets harder to hit).
 """
 
+import argparse
+import contextlib
 import json
+import sys
 import time
 
 import jax
@@ -27,6 +30,17 @@ TARGET_MRAYS = 50.0
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--profile",
+        nargs="?",
+        const="/tmp/rayito_bench_prof",
+        default=None,
+        metavar="LOGDIR",
+        help="capture a jax.profiler trace of the timed frames and print a "
+        "per-phase device-time table to stderr (SURVEY §5)",
+    )
+    args = ap.parse_args()
     width, height = 512, 512
     cfg = RenderConfig(
         width=width,
@@ -50,19 +64,33 @@ def main():
     _ = float(img.sum())
 
     frames = 3
+    prof = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
     t0 = time.perf_counter()
-    outs = []
-    for _ in range(frames):
-        for r0 in range(0, height, band):
-            outs.append(
-                _render_path_pass(
-                    scene, cfg, cam, si, min(r0, height - band), band
+    with prof:
+        outs = []
+        for _ in range(frames):
+            for r0 in range(0, height, band):
+                outs.append(
+                    _render_path_pass(
+                        scene, cfg, cam, si, min(r0, height - band), band
+                    )
                 )
-            )
-    # one hard sync at the end (block_until_ready does not reliably block
-    # through the axon relay; a scalar readback does)
-    _ = float(outs[-1][0].sum() + outs[0][0].sum())
+        # one hard sync at the end (block_until_ready does not reliably
+        # block through the axon relay; a scalar readback does)
+        _ = float(outs[-1][0].sum() + outs[0][0].sum())
     dt = (time.perf_counter() - t0) / frames
+
+    if args.profile:
+        from rayito_tpu.utils.profiling import phase_table
+
+        print(f"per-frame device-time phases ({frames} frames):",
+              file=sys.stderr)
+        for label, ms, cnt in phase_table(args.profile, divisor=frames):
+            print(f"  {label:<45} {ms:8.2f} ms  ({cnt} ops)", file=sys.stderr)
 
     # issued-query counters were computed on-device during the timed region;
     # reading them back now costs nothing against the measurement
