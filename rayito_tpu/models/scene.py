@@ -454,6 +454,7 @@ class Scene:
 
         static_segs = []
         domain_specs = []  # (segments, xf_id)
+        ktab_small = []  # meshes below the kernel's break-even size
         for mi, cl in enumerate(cluster_list):
             tp = cl.v0.shape[0]
             seg = (
@@ -464,9 +465,16 @@ class Scene:
                 mesh_tri_start[mi],
             )
             if mesh_xf[mi] == 0:
+                # static meshes merge into ONE domain regardless of size:
+                # joining the shared launch is free
                 static_segs.append(seg)
-            else:
+            elif mesh_tri_count[mi] > 192:  # ~4 XLA clusters
                 domain_specs.append(([seg], mesh_xf[mi]))
+            else:
+                # a tiny TRANSFORMED mesh (e.g. the stage-7 scene-2 cubes)
+                # would pay a whole sort+mask+kernel launch of its own;
+                # the dense XLA brute-force fold is far cheaper
+                ktab_small.append(mi)
         if static_segs:
             domain_specs.insert(0, (static_segs, 0))
         ktab_tri, ktab_box, ktab_base, ktab_xf, ktab_seg = [], [], [], [], []
@@ -650,6 +658,7 @@ class Scene:
             ktab_base=tuple(ktab_base),
             ktab_xf=tuple(ktab_xf),
             ktab_seg=tuple(ktab_seg),
+            ktab_small=tuple(ktab_small),
             ktab_fits=ktab_fits,
             light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
             light_index=dev(np.array(light_index, i32).reshape(n_l)),
@@ -762,6 +771,9 @@ class SceneData:
     # per-domain ((cl_start, tri0), ...) piecewise-affine cluster -> global
     # triangle id map (see accel/kernel_tables.py)
     ktab_seg: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # transformed meshes too small for a kernel launch of their own —
+    # folded with the dense XLA brute-force path instead
+    ktab_small: tuple = dataclasses.field(metadata=dict(static=True), default=())
     ktab_fits: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     # -- static (trace-time) counts --

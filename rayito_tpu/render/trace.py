@@ -407,9 +407,34 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 ),
             )
 
+    # tiny transformed meshes fold via the dense XLA path (a kernel launch
+    # per 1-cluster mesh would be all fixed cost — scene.ktab_small)
+    overflow = jnp.int32(0)
+    for mi in scene.ktab_small:
+        from .mesh_intersect import mesh_intersect_clusters
+
+        o_l, d_l, rotation = _mesh_local_ray(scene, mi, o, d, time)
+        t_cap = jnp.minimum(t_best, tmax)
+        t_m, prim_m, beta_m, gamma_m, ovf_m = mesh_intersect_clusters(
+            scene, mi, o_l, d_l, tmin, t_cap
+        )
+        overflow = overflow + ovf_m
+        closer = prim_m >= 0
+        t_best = jnp.where(closer, t_m, t_best)
+        prim_best = jnp.where(closer, prim_m, prim_best)
+        beta_best = jnp.where(closer, beta_m, beta_best)
+        gamma_best = jnp.where(closer, gamma_m, gamma_best)
+        if scene.has_motion:
+            from ..ops.quaternion import Quat
+
+            rot_best = Quat(
+                jnp.where(closer, rotation.w, rot_best.w),
+                vwhere(closer, rotation.v, rot_best.v),
+            )
+
     return _mesh_shading(
         scene, t_best, prim_best, beta_best, gamma_best, rot_best,
-        jnp.int32(0),
+        overflow,
     )
 
 
@@ -561,6 +586,16 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 want_t=False,
             )
             occluded |= p_d >= 0
+        from .mesh_intersect import mesh_intersect_clusters
+
+        for mi in scene.ktab_small:  # tiny transformed meshes: XLA fold
+            o_l, d_l, _ = _mesh_local_ray(scene, mi, o, d, time)
+            _, prim_m, _, _, ovf_m = mesh_intersect_clusters(
+                scene, mi, o_l, d_l, tmin,
+                jnp.where(occluded, 0.0, tmax), any_hit=True,
+            )
+            occluded |= prim_m >= 0
+            overflow = overflow + ovf_m
         return occluded, overflow
 
     from .mesh_intersect import mesh_intersect_clusters

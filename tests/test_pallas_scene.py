@@ -83,7 +83,14 @@ def _both_impls(fn, monkeypatch):
 ])
 def test_scene_intersect_parity(scene_fn, time, monkeypatch):
     scene = scene_fn()
-    assert len(scene.ktab_xf) == (1 if scene_fn is _static_two_mesh_scene else 2)
+    if scene_fn is _static_two_mesh_scene:
+        # both static meshes merge into ONE world-space kernel domain
+        assert len(scene.ktab_xf) == 1 and scene.ktab_small == ()
+    else:
+        # the static box gets the kernel domain; the tiny TRANSFORMED box
+        # routes to the dense XLA fold (a kernel launch for a 1-cluster
+        # mesh would be all fixed cost)
+        assert len(scene.ktab_xf) == 1 and scene.ktab_small == (1,)
     n = 512
     o, d = _random_rays(n, seed=11)
     tmax = jnp.full((n,), 1e30, jnp.float32)
