@@ -68,48 +68,25 @@ def main():
             img, _, _ = _render_path_pass(scene, cfg, cam, si, 0, band)
         _ = float(img.sum())
 
-    paths = glob.glob(
-        f"{args.logdir}/**/*.trace.json.gz", recursive=True
-    )
-    if not paths:
+    from rayito_tpu.utils.profiling import collect_device_ops, phase_table
+
+    ops = collect_device_ops(args.logdir)
+    if not ops:
         print("no trace found", file=sys.stderr)
         return
-    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
-        trace = json.load(f)
-
-    # device-side complete events only (TensorFlow Op / XLA Ops tracks)
-    pid_names = {}
-    for ev in trace["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pid_names[ev["pid"]] = ev["args"].get("name", "")
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n}
-
-    tid_names = {}
-    for ev in trace["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
-            tid_names[(ev["pid"], ev["tid"])] = ev["args"].get("name", "")
-
-    by_op = {}
-    for ev in trace["traceEvents"]:
-        if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
-            continue
-        tname = tid_names.get((ev["pid"], ev["tid"]), "")
-        if "XLA Ops" not in tname:
-            continue
-        name = ev["name"]
-        d = by_op.setdefault(name, [0.0, 0])
-        d[0] += ev.get("dur", 0.0)
-        d[1] += 1
-    total = sum(v[0] for v in by_op.values())
+    total = sum(us for us, _ in ops.values())
     print(f"total device op time: {total / 1e3 / args.reps:.1f} ms/band")
     print(f"{'op':<60} {'ms/band':>9} {'count':>6} {'pct':>6}")
-    for name, (dur, cnt) in sorted(
-        by_op.items(), key=lambda kv: -kv[1][0]
-    )[: args.top]:
+    for name, (us, cnt) in sorted(ops.items(), key=lambda kv: -kv[1][0])[
+        : args.top
+    ]:
         print(
-            f"{name[:60]:<60} {dur / 1e3 / args.reps:9.2f} "
-            f"{cnt // args.reps:6d} {dur / total * 100:5.1f}%"
+            f"{name[:60]:<60} {us / 1e3 / args.reps:9.2f} "
+            f"{cnt // args.reps:6d} {us / total * 100:5.1f}%"
         )
+    print("\nphase rollup:")
+    for label, ms, cnt in phase_table(args.logdir, divisor=args.reps):
+        print(f"  {label:<45} {ms:8.2f} ms  ({cnt} ops)")
 
 
 if __name__ == "__main__":
