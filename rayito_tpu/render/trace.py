@@ -522,10 +522,15 @@ def scene_intersect(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> Hit:
     if scene.n_rects:
         best = fold(best, _rects_candidate(scene, o, d, time, tmin, tmax))
     if scene.n_meshes:
+        # cap the mesh query at the analytic winner's t: the traversal's
+        # per-ray tmax feeds the cluster slab tests, so a ray that already
+        # hit the ground plane / a sphere prunes every cluster behind that
+        # hit (the fold would discard those hits anyway)
+        tmax_mesh = jnp.minimum(tmax, best[0])
         if use_pallas_traversal(scene):
-            cand = _mesh_candidate_pallas(scene, o, d, time, tmin, tmax)
+            cand = _mesh_candidate_pallas(scene, o, d, time, tmin, tmax_mesh)
         else:
-            cand = _mesh_candidate(scene, o, d, time, tmin, tmax)
+            cand = _mesh_candidate(scene, o, d, time, tmin, tmax_mesh)
         overflow = cand[-1]
         best = fold(best, cand[:-1])
 
