@@ -259,3 +259,38 @@ def test_mesh_shape_light():
     cos_l = np.abs(-dn[..., 1])
     L = power * (albedo / np.pi) * ((cos_s * cos_l / r2).sum() * (1.0 / res**2))
     assert abs(got - L) / L < 0.15, (got, L)
+
+
+def test_eval_transform_scalar_and_lane_paths_agree():
+    """eval_transform has a scalar-id fast path (where-chain key selection —
+    the renderer's hot path) and a per-lane-id gather path
+    (_eval_transform_lanes, API surface). They must produce identical
+    results or the renderer would silently diverge from the documented
+    Transform semantics."""
+    tr = rt.Transform()
+    tr.set_translation(0.0, (1.0, -2.0, 0.5))
+    tr.set_translation(0.6, (3.0, 0.0, -1.0))
+    tr.set_translation(1.0, (0.0, 4.0, 2.0))
+    tr.set_scaling(0.6, (2.0, 1.0, 0.5))
+    tr.set_rotation(1.0, (0.9238795, 0.0, 0.3826834, 0.0))
+    sd = _xf_tables(tr)
+    xf_id = sd.sph_xf[0]
+
+    times = jnp.asarray(
+        np.linspace(-0.2, 1.3, 257, dtype=np.float32)  # incl. out-of-range
+    )
+    tr_s, sc_s, ro_s = xfm.eval_transform(
+        sd.xf_times, sd.xf_translate, sd.xf_scale, sd.xf_rotate,
+        sd.xf_nkeys, xf_id, times,
+    )
+    ids = jnp.broadcast_to(jnp.asarray(xf_id, jnp.int32), times.shape)
+    tr_l, sc_l, ro_l = xfm.eval_transform(
+        sd.xf_times, sd.xf_translate, sd.xf_scale, sd.xf_rotate,
+        sd.xf_nkeys, ids, times,
+    )
+    for a, b in [(tr_s, tr_l), (sc_s, sc_l), (ro_s.v, ro_l.v)]:
+        for comp in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, comp)), np.asarray(getattr(b, comp))
+            )
+    np.testing.assert_array_equal(np.asarray(ro_s.w), np.asarray(ro_l.w))
