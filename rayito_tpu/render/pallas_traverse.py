@@ -7,23 +7,28 @@ the ENTIRE triangle table resident in VMEM (accel/kernel_tables.py layout).
 This is the Pallas replacement for the reference's per-ray BVH descent
 (Rayito_Stage6_QT/RAccel.h:471-560), shaped by measurement:
 
-  * Division of labor: XLA is good at big fused elementwise+reduce; Mosaic
-    is good at dense VMEM compute — and BAD at fine-grained control (a
-    pl.when guard, a VMEM->SMEM DMA wait, a lane<->sublane relayout, and a
-    384-iteration scalar loop each measured 1-60 µs per 2048 rays). So the
-    CANDIDATE SELECTION runs in XLA — one fused [N, C] slab test reduced to
-    per-256-ray-block any-hit masks, bit-packed to [n_blocks, C/32] int32 —
-    and rides into the kernel as a SCALAR-PREFETCH operand (lands in SMEM:
-    no in-kernel DMA, no relayout, scalar-core reads).
+  * Division of labor: Mosaic is good at dense VMEM compute and BAD at
+    fine-grained control (a pl.when guard, a VMEM->SMEM DMA wait, a
+    lane<->sublane relayout, and a 384-iteration scalar loop each measured
+    1-60 µs per 2048 rays). So CANDIDATE SELECTION is its own small kernel
+    (_mask_kernel): a [B, C_pad] slab test per ray block, every
+    intermediate VMEM-resident, bit-packed per block via an MXU matmul
+    against 0/2^k weights. (The same computation expressed in XLA fused
+    perfectly in isolation but was split by the full bounce-body jit into
+    ~7 fusions materializing [N, C] f32 through HBM — 78 of a 113 ms
+    band.) The packed masks ride into the traversal kernel as pipelined
+    per-step SMEM blocks — whole-array scalar prefetch costs ~32 B of SMEM
+    per entry and caps n_blocks*n_words at 32k.
   * Ray data arrives pre-transposed as [n_steps, SB, 8] (rays along
     SUBLANES, components along lanes) so per-ray columns are free static
     views. The 16x lane padding of the minor dim costs ~100 µs of HBM
     traffic per 131k-ray wave — noise next to the relayouts it removes.
-  * The kernel proper is just: per 256-ray block, a scalar-core bit-scan of
-    the mask words (lowest-set-bit iteration, no branches), and ONE dense
-    [256, 128] Möller-Trumbore block per listed cluster against
-    VMEM-resident triangle rows. A packed (t, lane) int32 key tracks the
-    per-ray nearest hit in a single reduction.
+  * The traversal kernel proper is just: per B-ray block, a scalar-core
+    bit-scan of the mask words (lowest-set-bit iteration, no branches),
+    and ONE dense [B, 128] Möller-Trumbore block per listed cluster
+    against VMEM-resident triangle rows (~540-860 ns each — the VPU issue
+    rate for this dependency pattern). A packed (t, lane) int32 key tracks
+    the per-ray nearest hit in a single reduction.
 
 No per-candidate HBM traffic, no top_k, no sorts, no truncation: every
 slab-hit cluster is tested, so the K1/K2 overflow of the XLA path is
@@ -504,7 +509,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
                 # pack (coarse key, lane id) into ONE operand: a 1-op sort
                 # is ~2x cheaper than 2-op. 13 coarse key bits (miss flag +
                 # morton MSBs) give ~16-ray buckets at 131k lanes — far
-                # finer than the 256-ray block granularity that matters.
+                # finer than the B-ray block granularity that matters.
                 packed = ((key >> 17) << 17) | lane_ids
                 perm = jax.lax.sort(packed) & jnp.int32((1 << 17) - 1)
             else:
