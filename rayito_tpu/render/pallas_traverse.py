@@ -57,9 +57,9 @@ SB = 2048  # rays per grid step
 # rays per ray-block (mask granularity: one cluster MT block serves the
 # UNION of its B rays' slab-hit clusters — smaller B = tighter unions but
 # more scalar-core scans; env-tunable for hardware sweeps). Measured on
-# v5e, incoherent 131k-ray waves on the stage-6 domain: 128 beats 256 by
-# 1.2-1.6x (tighter unions dominate the extra scans); 64 exceeds the 1 MB
-# SMEM budget for the prefetched mask operand.
+# v5e, stage-6 bench frames: 128 beats 256 by 1.2-1.6x (tighter unions
+# dominate the extra scans) and beats 64/32 (42.1 / 132.8 vs 103 ms —
+# per-block fixed costs overtake the union gains).
 B = int(os.environ.get("RAYITO_TRAVERSE_B", "128"))
 RB = SB // B  # ray-blocks per grid step
 _INF = float("inf")  # python scalar: folds into kernel constants
