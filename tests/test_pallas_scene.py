@@ -120,15 +120,21 @@ def test_scene_intersect_parity(scene_fn, time, monkeypatch):
     assert int(got.overflow) == 0  # kernel path: structurally no truncation
 
 
-def test_scene_occluded_parity(monkeypatch):
-    scene = _static_two_mesh_scene()
+@pytest.mark.parametrize("scene_fn,time", [
+    (_static_two_mesh_scene, 0.0),
+    # the motion scene exercises the ktab_small occlusion fold: its tiny
+    # transformed box bypasses the kernel and must still occlude
+    (_motion_mesh_scene, 0.37),
+])
+def test_scene_occluded_parity(scene_fn, time, monkeypatch):
+    scene = scene_fn()
     n = 512
     o, d = _random_rays(n, seed=23)
     tmax = jnp.full((n,), 12.0, jnp.float32)
 
     def run():
         occ, _ = scene_occluded(
-            scene, o, d, jnp.zeros((n,)), 1e-4, tmax
+            scene, o, d, jnp.full((n,), time), 1e-4, tmax
         )
         return occ
 
