@@ -1,8 +1,11 @@
-"""Benchmark: Mrays/sec/chip on the stage-6 bumpy.obj BVH scene.
+"""Benchmark: Mrays/sec/chip on the reference demo scenes.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is measured Mrays/s divided by the 50 Mrays/s/chip target
-(BASELINE.json north_star).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}:
+  * the headline metric is the stage-6 bumpy.obj BVH scene (BASELINE.json's
+    north star: 50 Mrays/s/chip);
+  * "extra" carries the stage-7 scene-2 motion/many-shape config
+    (10 kinematic spheres + 10 tumbling cubes, BENCH_NOTES.md) — the
+    BASELINE.md-tracked animated scene.
 
 Ray accounting (honest, counted on-device): the scene-intersection queries
 the integrator semantically ISSUES — alive-lane traces, NEE shadow
@@ -22,51 +25,31 @@ import jax
 import jax.numpy as jnp
 
 from rayito_tpu.models.camera import PerspectiveCamera
-from rayito_tpu.models.demo import STAGE6_CAMERA, stage6_scene
+from rayito_tpu.models.demo import (
+    STAGE6_CAMERA,
+    STAGE7_SCENE2_CAMERA,
+    stage6_scene,
+    stage7_scene2,
+)
 from rayito_tpu.render.pathtracer import _render_path_pass
 from rayito_tpu.utils.config import RenderConfig
 
 TARGET_MRAYS = 50.0
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--profile",
-        nargs="?",
-        const="/tmp/rayito_bench_prof",
-        default=None,
-        metavar="LOGDIR",
-        help="capture a jax.profiler trace of the timed frames and print a "
-        "per-phase device-time table to stderr (SURVEY §5)",
-    )
-    args = ap.parse_args()
-    width, height = 512, 512
-    cfg = RenderConfig(
-        width=width,
-        height=height,
-        pixel_samples=2,  # 4 spp per pass chunk below
-        light_samples=1,
-        max_depth=3,
-        aspect_correction=True,
-        max_rays_per_pass=1 << 17,  # 131k-lane row bands: best measured
-        # throughput (larger waves hit HBM pressure from [N, K] intermediates)
-    )
-    scene = stage6_scene().compile()
-    cam = PerspectiveCamera.make(
-        30.0, *STAGE6_CAMERA, focal_distance=16.0, lens_radius=0.0
-    )
-
+def time_config(scene, cam, cfg, frames=3, profile_dir=None):
+    """Time ``frames`` full frames of row-banded 1-sample launches.
+    Returns measured Mrays/s (issued queries / wall time)."""
+    height = cfg.height
     si = jnp.arange(1, dtype=jnp.int32)  # one sample per launch; row bands
-    band = min(height, cfg.max_rays_per_pass // width)
+    band = min(height, cfg.max_rays_per_pass // cfg.width)
     # warmup / compile (row0 is traced: one executable covers all bands)
     img, _, _ = _render_path_pass(scene, cfg, cam, si, 0, band)
     _ = float(img.sum())
 
-    frames = 3
     prof = (
-        jax.profiler.trace(args.profile)
-        if args.profile
+        jax.profiler.trace(profile_dir)
+        if profile_dir
         else contextlib.nullcontext()
     )
     t0 = time.perf_counter()
@@ -84,26 +67,84 @@ def main():
         _ = float(outs[-1][0].sum() + outs[0][0].sum())
     dt = (time.perf_counter() - t0) / frames
 
-    if args.profile:
-        from rayito_tpu.utils.profiling import phase_table
-
-        print(f"per-frame device-time phases ({frames} frames):",
-              file=sys.stderr)
-        for label, ms, cnt in phase_table(args.profile, divisor=frames):
-            print(f"  {label:<45} {ms:8.2f} ms  ({cnt} ops)", file=sys.stderr)
-
     # issued-query counters were computed on-device during the timed region;
     # reading them back now costs nothing against the measurement
     queries = sum(int(q) for _, _, q in outs)
-    mrays = queries / frames / dt / 1e6
+    return queries / frames / dt / 1e6
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--profile",
+        nargs="?",
+        const="/tmp/rayito_bench_prof",
+        default=None,
+        metavar="LOGDIR",
+        help="capture a jax.profiler trace of the timed frames and print a "
+        "per-phase device-time table to stderr (SURVEY §5)",
+    )
+    ap.add_argument(
+        "--skip-motion", action="store_true",
+        help="headline stage-6 metric only (skip the stage-7b extra)",
+    )
+    args = ap.parse_args()
+
+    cfg6 = RenderConfig(
+        width=512,
+        height=512,
+        pixel_samples=2,  # 4 spp per pass chunk below
+        light_samples=1,
+        max_depth=3,
+        aspect_correction=True,
+        max_rays_per_pass=1 << 17,  # 131k-lane row bands: best measured
+        # throughput (larger waves hit HBM pressure from [N, K] intermediates)
+    )
+    scene6 = stage6_scene().compile()
+    cam6 = PerspectiveCamera.make(
+        30.0, *STAGE6_CAMERA, focal_distance=16.0, lens_radius=0.0
+    )
+    mrays6 = time_config(scene6, cam6, cfg6, profile_dir=args.profile)
+
+    if args.profile:
+        from rayito_tpu.utils.profiling import phase_table
+
+        print("per-frame device-time phases (3 frames):", file=sys.stderr)
+        for label, ms, cnt in phase_table(args.profile, divisor=3):
+            print(f"  {label:<45} {ms:8.2f} ms  ({cnt} ops)", file=sys.stderr)
+
+    extra = {}
+    if not args.skip_motion:
+        # stage-7 scene 2: the BASELINE.md-tracked animated/motion-blur
+        # config (512x256, 1 spp, depth 3 — BENCH_NOTES.md "Many-mesh
+        # datapoint")
+        cfg7 = RenderConfig(
+            width=512,
+            height=256,
+            pixel_samples=1,
+            light_samples=1,
+            max_depth=3,
+            aspect_correction=True,
+            max_rays_per_pass=1 << 17,
+        )
+        scene7 = stage7_scene2().compile()
+        cam7 = PerspectiveCamera.make(
+            30.0, *STAGE7_SCENE2_CAMERA,
+            focal_distance=16.0, lens_radius=0.0,
+            shutter_open=0.0, shutter_close=1.0,
+        )
+        extra["stage7b_motion_path_trace"] = round(
+            time_config(scene7, cam7, cfg7), 3
+        )
 
     print(
         json.dumps(
             {
                 "metric": "stage6_bumpy_bvh_path_trace",
-                "value": round(mrays, 3),
+                "value": round(mrays6, 3),
                 "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+                "vs_baseline": round(mrays6 / TARGET_MRAYS, 4),
+                "extra": extra,
             }
         )
     )

@@ -12,6 +12,7 @@ from .models.scene import (  # noqa: F401
     DiffuseMaterial,
     EmitterMaterial,
     GlossyMaterial,
+    Group,
     PhongMaterial,
     Plane,
     RectangleLight,

@@ -197,3 +197,55 @@ def build_kernel_tables(
 ) -> KernelTables:
     """Single-segment convenience wrapper (one mesh)."""
     return build_kernel_tables_multi([(v0, v1, v2, valid, tri0)])
+
+
+# number of per-ray features the MXU triangle test contracts over:
+# [dx dy dz | cx cy cz | ox oy oz | 1] + 6 zero-padding rows to the f32
+# sublane tile (the matmul's K dim)
+MXU_FEAT = 16
+
+
+def build_mxu_weights(tri: np.ndarray) -> np.ndarray:
+    """Per-cluster MXU weight blocks for the Plücker/plane triangle test.
+
+    ``tri``: [C, KCOMP, 128] (v0/e1/e2 component rows, kernel-table layout).
+    Returns [C, MXU_FEAT, 4*KTRI] f32 where, for triangle lane j of cluster
+    c, columns j, 128+j, 256+j, 384+j hold the weights producing
+
+        w0 = d·m0 + (o×d)·e0      (edge v1→v2, opposite v0)
+        w1 = d·m1 + (o×d)·e1      (edge v2→v0)
+        w2 = d·m2 + (o×d)·e2      (edge v0→v1)
+        tnum = n·v0 − n·o         (n = m0+m1+m2 = unnormalized 2A·n̂)
+
+    under the feature vector P = [d, o×d, o, 1, 0...]. Identities:
+    Σe_i = 0 and Σm_i = n, so the denominator n·d = w0+w1+w2 needs no
+    column of its own; t = tnum / (w0+w1+w2), and the inside test is the
+    sign-agreement of (w0, w1, w2). Built in f64, stored f32. Degenerate
+    (all-zero padding) triangles produce all-zero columns → w_i = 0,
+    den = 0 → t = inf/nan → every range compare fails, same as the VPU
+    Möller-Trumbore's det == 0 path."""
+    c, _, k = tri.shape
+    t64 = tri.astype(np.float64)
+    a = np.stack([t64[:, 0], t64[:, 1], t64[:, 2]], -1)  # v0 [C,128,3]
+    e1 = np.stack([t64[:, 3], t64[:, 4], t64[:, 5]], -1)
+    e2 = np.stack([t64[:, 6], t64[:, 7], t64[:, 8]], -1)
+    b = a + e1  # v1
+    cc = a + e2  # v2
+    # line (p -> q): direction q - p, moment p × q
+    edges = [
+        (cc - b, np.cross(b, cc)),  # L0: v1 -> v2
+        (a - cc, np.cross(cc, a)),  # L1: v2 -> v0
+        (b - a, np.cross(a, b)),  # L2: v0 -> v1
+    ]
+    n = edges[0][1] + edges[1][1] + edges[2][1]  # Σm = 2A·n̂
+    w = np.zeros((c, MXU_FEAT, 4 * k), np.float64)
+    for i, (e, m) in enumerate(edges):
+        col = slice(i * k, (i + 1) * k)
+        for ax in range(3):
+            w[:, 0 + ax, col] = m[:, :, ax]  # d · m
+            w[:, 3 + ax, col] = e[:, :, ax]  # (o×d) · e
+    col = slice(3 * k, 4 * k)
+    for ax in range(3):
+        w[:, 6 + ax, col] = -n[:, :, ax]  # −n · o
+    w[:, 9, col] = np.einsum("cka,cka->ck", n, a)  # + n · v0
+    return w.astype(np.float32)

@@ -87,6 +87,11 @@ def main(argv=None):
                    help="progressive checkpoint file (.npz); resumes if present")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save every N sample chunks")
+    p.add_argument("--view", type=int, nargs="?", const=8652, default=None,
+                   metavar="PORT",
+                   help="serve a live auto-refreshing preview of the "
+                        "progressive render at http://localhost:PORT "
+                        "(default 8652) — the Qt window's watching role")
     p.add_argument("--sharded", action="store_true",
                    help="shard the wavefront over all local devices")
     args = p.parse_args(argv)
@@ -157,13 +162,27 @@ def main(argv=None):
         else:
             from .render.progressive import render_progressive
 
+            viewer = None
+            if args.view is not None:
+                from .utils.viewer import LiveViewer
+
+                viewer = LiveViewer(port=args.view, exposure=args.exposure,
+                                    gamma=args.gamma)
+                print(
+                    f"[rayito_tpu] live preview at http://localhost:"
+                    f"{viewer.port}/",
+                    file=sys.stderr,
+                )
             img, stats = render_progressive(
                 scene,
                 cfg,
                 camera,
                 checkpoint_path=args.checkpoint,
                 checkpoint_every=args.checkpoint_every,
+                on_preview=viewer.on_preview if viewer else None,
             )
+            if viewer:
+                viewer.update(img, stats)
             stats_line = (
                 f" rays={stats.rays_traced / 1e6:.1f}M"
                 f" throughput={stats.mrays_per_sec:.2f} Mrays/s"

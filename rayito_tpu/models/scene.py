@@ -17,6 +17,7 @@ Material kinds: 0 lambert, 1 glossy, 2 perfect reflection, 3 emitter,
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -250,6 +251,24 @@ class ShapeLight:
     power: float
 
 
+@dataclasses.dataclass
+class Group:
+    """ShapeSet-as-a-Shape (Rayito_Stage7_QT/RScene.h:113-268): a collection
+    of child shapes — or nested Groups — carrying its OWN keyed Transform,
+    applied to incoming rays before the children's transforms
+    (RScene.h:122-124). ``Scene.add(group)`` flattens the tree at build time:
+    each leaf shape records its chain of enclosing group Transforms, and
+    ``Scene.compile`` lowers the chains to per-slot parent pointers
+    (SceneData.xf_parent) walked by a statically-unrolled loop of the
+    scene's max nesting depth — the flat device layout is preserved."""
+
+    transform: Transform = dataclasses.field(default_factory=Transform)
+    children: List[object] = dataclasses.field(default_factory=list)
+
+    def add(self, shape) -> None:
+        self.children.append(shape)
+
+
 class Scene:
     """The ShapeSet equivalent: collects shapes, compiles to SceneData."""
 
@@ -260,30 +279,47 @@ class Scene:
         self.meshes: List[TriangleMesh] = []
         # lights: list of (kind, index-within-kind, color, power)
         self._lights: List[tuple] = []
+        # per-shape chain of enclosing Group transforms (outermost first),
+        # parallel to the kind lists above
+        self._pln_chain: List[tuple] = []
+        self._sph_chain: List[tuple] = []
+        self._rect_chain: List[tuple] = []
+        self._mesh_chain: List[tuple] = []
 
-    def add(self, shape) -> None:
+    def add(self, shape, _enclosing: tuple = ()) -> None:
+        if isinstance(shape, Group):
+            chain = _enclosing + (shape.transform,)
+            for child in shape.children:
+                self.add(child, chain)
+            return
         if isinstance(shape, Plane):
             self.planes.append(shape)
+            self._pln_chain.append(_enclosing)
         elif isinstance(shape, Sphere):
             self.spheres.append(shape)
+            self._sph_chain.append(_enclosing)
         elif isinstance(shape, RectangleLight):
             self.rect_lights.append(shape)
+            self._rect_chain.append(_enclosing)
             self._lights.append(
                 (LIGHT_RECT, len(self.rect_lights) - 1, shape.color, shape.power)
             )
         elif isinstance(shape, TriangleMesh):
             self.meshes.append(shape)
+            self._mesh_chain.append(_enclosing)
         elif isinstance(shape, ShapeLight):
             emitter = EmitterMaterial(shape.color, shape.power)
             inner = shape.shape
             inner.material = emitter
             if isinstance(inner, Sphere):
                 self.spheres.append(inner)
+                self._sph_chain.append(_enclosing)
                 self._lights.append(
                     (LIGHT_SPHERE, len(self.spheres) - 1, shape.color, shape.power)
                 )
             elif isinstance(inner, TriangleMesh):
                 self.meshes.append(inner)
+                self._mesh_chain.append(_enclosing)
                 self._lights.append(
                     (LIGHT_MESH, len(self.meshes) - 1, shape.color, shape.power)
                 )
@@ -293,7 +329,23 @@ class Scene:
             raise TypeError(f"unknown shape type {type(shape)}")
 
     # ------------------------------------------------------------------
-    def compile(self, max_keys: Optional[int] = None) -> "SceneData":
+    def compile(
+        self,
+        max_keys: Optional[int] = None,
+        traversal: Optional[str] = None,
+        tiny_fold: Optional[bool] = None,
+        traverse_mt: Optional[str] = None,
+    ) -> "SceneData":
+        """Lower to a SceneData pytree.
+
+        ``traversal``: 'pallas' | 'xla' | None — which mesh-traversal
+        implementation trace code should use. None resolves the choice ONCE
+        here (RAYITO_TRAVERSAL env, else backend auto-detect) and bakes it
+        into the static ``SceneData.traversal`` field, so a long-lived
+        process flipping the env var after compilation cannot end up with
+        inconsistent intersect/occlusion impls across already-cached jits
+        (tests switch impls via ``dataclasses.replace(scene,
+        traversal=...)``, which re-keys every jit cache)."""
         from ..accel.bvh import bvh_prim_order
         from ..accel.clusters import build_clusters
 
@@ -322,14 +374,33 @@ class Scene:
         mesh_id0 = n_p + n_s + n_r
 
         # --- transforms table: slot 0 is identity; shapes share slot 0 when
-        # their transform is identity.
+        # their transform is identity. Group nesting lowers to per-slot
+        # PARENT pointers (xf_parent; -1 = root): a shape inside groups gets
+        # a slot whose ancestors are the (deduplicated) group slots, and
+        # identity links collapse — a shape with an identity transform
+        # inside one group simply reuses the group's slot.
         transforms: List[Transform] = [Transform()]
+        xf_parent_list: List[int] = [-1]
+        _slot_cache: dict = {}
 
-        def xf_id(t: Transform) -> int:
+        def _alloc_slot(t: Transform, parent: int) -> int:
             if t.is_identity():
-                return 0
-            transforms.append(t)
-            return len(transforms) - 1
+                return parent  # collapse identity links (may stay -1)
+            key = (id(t), parent)
+            s = _slot_cache.get(key)
+            if s is None:
+                transforms.append(t)
+                xf_parent_list.append(parent)
+                s = len(transforms) - 1
+                _slot_cache[key] = s
+            return s
+
+        def xf_id(t: Transform, chain: tuple = ()) -> int:
+            parent = -1
+            for g in chain:  # outermost group first
+                parent = _alloc_slot(g, parent)
+            s = _alloc_slot(t, parent)
+            return s if s >= 0 else 0
 
         pln_pos = np.array([p.position for p in self.planes], f32).reshape(n_p, 3)
         pln_normal_raw = np.array([p.normal for p in self.planes], f32).reshape(n_p, 3)
@@ -338,17 +409,26 @@ class Scene:
         )
         pln_mat = np.array([mat_id(p.material) for p in self.planes], i32)
         pln_bullseye = np.array([p.bullseye for p in self.planes], bool)
-        pln_xf = np.array([xf_id(p.transform) for p in self.planes], i32)
+        pln_xf = np.array(
+            [xf_id(p.transform, c)
+             for p, c in zip(self.planes, self._pln_chain)], i32,
+        )
 
         sph_center = np.array([s.position for s in self.spheres], f32).reshape(n_s, 3)
         sph_radius = np.array([s.radius for s in self.spheres], f32)
         sph_mat = np.array([mat_id(s.material) for s in self.spheres], i32)
-        sph_xf = np.array([xf_id(s.transform) for s in self.spheres], i32)
+        sph_xf = np.array(
+            [xf_id(s.transform, c)
+             for s, c in zip(self.spheres, self._sph_chain)], i32,
+        )
 
         rect_corner = np.array([r.corner for r in self.rect_lights], f32).reshape(n_r, 3)
         rect_s1 = np.array([r.side1 for r in self.rect_lights], f32).reshape(n_r, 3)
         rect_s2 = np.array([r.side2 for r in self.rect_lights], f32).reshape(n_r, 3)
-        rect_xf = np.array([xf_id(r.transform) for r in self.rect_lights], i32)
+        rect_xf = np.array(
+            [xf_id(r.transform, c)
+             for r, c in zip(self.rect_lights, self._rect_chain)], i32,
+        )
         rect_mats = []
         rect_emit = []
         for r in self.rect_lights:
@@ -417,7 +497,7 @@ class Scene:
             )
             tri_face_id.append(padz(fids[order], -1))
             mesh_mat.append(mat_id(m.material))
-            mesh_xf.append(xf_id(m.transform))
+            mesh_xf.append(xf_id(m.transform, self._mesh_chain[mi]))
             mesh_tri_start.append(t_off)
             mesh_tri_count.append(T)
             t_off += tp
@@ -477,7 +557,23 @@ class Scene:
                 ktab_small.append(mi)
         if static_segs:
             domain_specs.insert(0, (static_segs, 0))
+        # which per-cluster triangle test the kernel runs: 'vpu' = classic
+        # Möller-Trumbore on the vector unit; 'mxu' = the Plücker/plane
+        # formulation as ONE [B,16]x[16,512] matmul per cluster against
+        # precomputed weight blocks (4.4x faster per block on v5e, measured
+        # tools/mxu_mt_bench.py). Resolved ONCE here (env override, else
+        # MXU on TPU).
+        if traverse_mt is None:
+            traverse_mt = os.environ.get("RAYITO_TRAVERSE_MT", "").lower()
+            if traverse_mt not in ("vpu", "mxu"):
+                import jax as _jax
+
+                traverse_mt = "mxu" if _jax.default_backend() == "tpu" else "vpu"
+        if traverse_mt not in ("vpu", "mxu"):
+            raise ValueError(f"traverse_mt must be 'vpu'|'mxu', got {traverse_mt!r}")
+
         ktab_tri, ktab_box, ktab_base, ktab_xf, ktab_seg = [], [], [], [], []
+        ktab_mxu = []
         for segs, xfi in domain_specs:
             kt = build_kernel_tables_multi(segs)
             ktab_tri.append(jnp.asarray(kt.tri))
@@ -485,10 +581,25 @@ class Scene:
             ktab_base.append(jnp.asarray(kt.tri_base))
             ktab_xf.append(int(xfi))
             ktab_seg.append(kt.seg)
-        # every domain's triangle table must be VMEM-resident during its
-        # launch; beyond ~12 MB (1536 clusters = 196k triangles) the scene
-        # falls back to the XLA cluster pipeline (render/mesh_intersect.py)
-        ktab_fits = all(t.size * 4 <= 12 * 2**20 for t in ktab_tri)
+            if traverse_mt == "mxu":
+                from ..accel.kernel_tables import build_mxu_weights
+
+                ktab_mxu.append(jnp.asarray(build_mxu_weights(kt.tri)))
+        if traversal is None:
+            from ..render.pallas_traverse import traversal_impl
+
+            traversal = traversal_impl()
+        if traversal not in ("pallas", "xla"):
+            raise ValueError(f"traversal must be 'pallas'|'xla', got {traversal!r}")
+        # per-triangle scalar folds for tiny meshes (render/mesh_intersect
+        # _tiny_mesh_fold): a big TPU win (stage-7b 1.8 -> ~10 Mrays/s), but
+        # on XLA:CPU the fold's fusion plan varies with the shard shape
+        # (FMA contraction differs between program shapes), breaking the
+        # N-device == 1-device BIT-identity that tests/test_sharding.py
+        # pins. Resolved once here: on by default only on TPU.
+        if tiny_fold is None:
+            tiny_fold = jax.default_backend() == "tpu"
+
 
         # --- per-mesh triangle-area CDF (light sampling, RMesh.h:105-186).
         # The reference picks face ~ area then triangle-in-fan ~ area; the
@@ -594,6 +705,18 @@ class Scene:
 
         has_motion = any(not t.is_identity() for t in transforms)
 
+        # parent pointers + max chain depth (1 = no nesting anywhere)
+        xf_parent = np.array(xf_parent_list, i32)
+
+        def _depth(s: int) -> int:
+            d = 0
+            while s >= 0:
+                d += 1
+                s = xf_parent_list[s]
+            return max(d, 1)
+
+        xf_depth = max((_depth(s) for s in range(len(transforms))), default=1)
+
         if not materials:
             # keep the material table non-empty so masked gathers stay in-bounds
             materials.append(DiffuseMaterial((0.0, 0.0, 0.0)))
@@ -659,7 +782,10 @@ class Scene:
             ktab_xf=tuple(ktab_xf),
             ktab_seg=tuple(ktab_seg),
             ktab_small=tuple(ktab_small),
-            ktab_fits=ktab_fits,
+            ktab_mxu=tuple(ktab_mxu),
+            traversal=traversal,
+            tiny_fold=bool(tiny_fold),
+            traverse_mt=traverse_mt,
             light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
             light_index=dev(np.array(light_index, i32).reshape(n_l)),
             light_shape_id=dev(np.array(light_shape_id, i32).reshape(n_l)),
@@ -670,6 +796,8 @@ class Scene:
             xf_scale=dev(xf_scale),
             xf_rotate=dev(xf_rot),
             xf_nkeys=dev(xf_nkeys),
+            xf_parent=dev(xf_parent),
+            xf_depth=xf_depth,
             has_motion=has_motion,
             light_kinds_host=tuple(light_kind),
             light_indices_host=tuple(light_index),
@@ -746,8 +874,15 @@ class SceneData:
     xf_scale: jnp.ndarray
     xf_rotate: jnp.ndarray
     xf_nkeys: jnp.ndarray
+    # per-slot parent transform slot (-1 = root) — nested Group chains
+    xf_parent: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.full((1,), -1, jnp.int32)
+    )
     # static metadata
     has_motion: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # max transform-chain length over all slots (1 = no Group nesting):
+    # the chain walk unrolls this many links statically
+    xf_depth: int = dataclasses.field(metadata=dict(static=True), default=1)
     # host-visible light table (needed to specialize per-light code paths at
     # trace time without device->host transfers)
     light_kinds_host: tuple = dataclasses.field(
@@ -765,6 +900,9 @@ class SceneData:
     # VMEM-resident triangle table, cluster AABB table, per-cluster global
     # triangle id base, and the domain's transform id (0 = world space)
     ktab_tri: tuple = ()  # tuple of [C, 16, 128] f32
+    # per-domain MXU Plücker/plane weight blocks [C, 16, 512] f32 — built
+    # only when traverse_mt == 'mxu' (accel/kernel_tables.build_mxu_weights)
+    ktab_mxu: tuple = ()
     ktab_box: tuple = ()  # tuple of [8, C_pad] f32
     ktab_base: tuple = ()  # tuple of [C] i32
     ktab_xf: tuple = dataclasses.field(metadata=dict(static=True), default=())
@@ -774,7 +912,18 @@ class SceneData:
     # transformed meshes too small for a kernel launch of their own —
     # folded with the dense XLA brute-force path instead
     ktab_small: tuple = dataclasses.field(metadata=dict(static=True), default=())
-    ktab_fits: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # mesh-traversal implementation, resolved ONCE at Scene.compile()
+    # ('pallas' = fused kernel, 'xla' = cluster pipeline) — a static field so
+    # the choice participates in every jit cache key instead of being read
+    # from the environment mid-trace
+    traversal: str = dataclasses.field(metadata=dict(static=True), default="xla")
+    # per-triangle scalar folds for tiny meshes (TPU-only by default: the
+    # fold's fusion plan is shape-dependent on XLA:CPU, which would break
+    # device-count bit-identity — see Scene.compile)
+    tiny_fold: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # per-cluster triangle-test implementation for the traversal kernel
+    # ('vpu' Möller-Trumbore | 'mxu' matmul Plücker — see Scene.compile)
+    traverse_mt: str = dataclasses.field(metadata=dict(static=True), default="vpu")
 
     # -- static (trace-time) counts --
     @property

@@ -167,6 +167,129 @@ def quat_lerp_v3(a: V3, b: V3, t) -> V3:
     return a + (b - a) * t
 
 
+# ---------------------------------------------------------------------------
+# Transform CHAINS (nested ShapeSet aggregates).
+#
+# The reference's ShapeSet is itself a Shape with its own keyed Transform:
+# rays are transformed into the set's local space BEFORE the children see
+# them (Rayito_Stage7_QT/RScene.h:122-124), and children can be aggregates
+# too, so a shape's effective transform is a CHAIN applied sequentially.
+# The flat device layout keeps one transform slot per shape plus a parent
+# pointer per slot (xf_parent, -1 = root); the chain is walked with a
+# STATICALLY-unrolled loop of depth = the scene's max nesting (xf_depth).
+# TRS tracks are NOT composed into one track at compile: the composition of
+# two interpolated tracks is not itself a lerp/nlerp track, so sequential
+# per-time evaluation is the only exact match for the reference semantics.
+# ---------------------------------------------------------------------------
+
+
+def eval_chain(
+    xf_times, xf_translate, xf_scale, xf_rotate, xf_nkeys, xf_parent,
+    depth: int, xf_id, time,
+):
+    """Evaluate the transform chain ending at scalar slot ``xf_id``.
+
+    Returns a child-first list of ``depth`` links ``(present, T, S, R)``;
+    ``present`` is None for the first link (a shape's own slot always
+    exists) and a traced scalar bool for ancestors (False once the walk
+    passes the root). With depth == 1 this is exactly one eval_transform —
+    the pre-group fast path, zero added cost."""
+    links = []
+    xid = jnp.asarray(xf_id, jnp.int32)
+    present = None
+    for level in range(depth):
+        safe = jnp.maximum(xid, 0)
+        t_l, s_l, r_l = eval_transform(
+            xf_times, xf_translate, xf_scale, xf_rotate, xf_nkeys, safe, time
+        )
+        links.append((present, t_l, s_l, r_l))
+        if level + 1 < depth:
+            up = xf_parent[safe]
+            xid = jnp.where(xid >= 0, up, jnp.int32(-1))
+            present = xid >= 0
+    return links
+
+
+def _mask_v3(present, new: V3, old: V3) -> V3:
+    from .vec3 import where as vwhere
+
+    return vwhere(present, new, old)
+
+
+def ray_to_local_chain(links, o: V3, d: V3):
+    """Transform a ray through the chain, OUTERMOST (root) link first —
+    the order the reference applies nested set transforms. Returns
+    (o_local, d_local, rot) where ``rot`` is the composed world-from-local
+    rotation (outermost ⊗ ... ⊗ innermost) for rotating normals back out."""
+    from . import quaternion as quat
+
+    rot = None
+    for present, t_l, s_l, r_l in reversed(links):
+        o2 = to_local_point(o, t_l, s_l, r_l)
+        d2 = to_local_vector(d, t_l, s_l, r_l)
+        if present is None:
+            o, d = o2, d2
+        else:
+            o = _mask_v3(present, o2, o)
+            d = _mask_v3(present, d2, d)
+        if rot is None:
+            rot = r_l if present is None else _mask_quat(present, r_l)
+        else:
+            r2 = quat.multiply(rot, r_l)
+            if present is None:
+                rot = r2
+            else:
+                rot = quat.Quat(
+                    jnp.where(present, r2.w, rot.w),
+                    _mask_v3(present, r2.v, rot.v),
+                )
+    return o, d, rot
+
+
+def _mask_quat(present, q):
+    """q where present else identity."""
+    from . import quaternion as quat
+
+    return quat.Quat(
+        jnp.where(present, q.w, 1.0),
+        V3(
+            jnp.where(present, q.v.x, 0.0),
+            jnp.where(present, q.v.y, 0.0),
+            jnp.where(present, q.v.z, 0.0),
+        ),
+    )
+
+
+def _apply_chain(links, x, one_link, innermost_first: bool):
+    order = links if innermost_first else list(reversed(links))
+    for present, t_l, s_l, r_l in order:
+        x2 = one_link(x, t_l, s_l, r_l)
+        x = x2 if present is None else _mask_v3(present, x2, x)
+    return x
+
+
+def from_local_point_chain(links, p: V3) -> V3:
+    """local -> world: innermost link first."""
+    return _apply_chain(links, p, from_local_point, innermost_first=True)
+
+
+def from_local_vector_chain(links, v: V3) -> V3:
+    return _apply_chain(links, v, from_local_vector, innermost_first=True)
+
+
+def from_local_normal_chain(links, n: V3) -> V3:
+    return _apply_chain(links, n, from_local_normal, innermost_first=True)
+
+
+def to_local_point_chain(links, p: V3) -> V3:
+    """world -> local: outermost link first."""
+    return _apply_chain(links, p, to_local_point, innermost_first=False)
+
+
+def to_local_vector_chain(links, v: V3) -> V3:
+    return _apply_chain(links, v, to_local_vector, innermost_first=False)
+
+
 def to_local_point(p: V3, translation: V3, scaling: V3, rotation) -> V3:
     return quat.rotate_vector(quat.conjugate(rotation), p - translation) / scaling
 

@@ -163,16 +163,30 @@ def max_components(a: V3, b: V3) -> V3:
 
 
 def make_coordinate_space(normal: V3):
-    """Orthonormal frame with Z = normal (RMath.h:946-955 semantics)."""
+    """Orthonormal frame with Z = normal — the reference's exact up-vector
+    rule (RMath.h:946-955): v2 = (0,1,0) unless the normalized direction is
+    exactly +/-Y (z.x == 0 AND z.z == 0), in which case (1,0,0). Then
+    X = normalize(v2 x Z), Y = Z x X."""
     z = normalize(normal)
-    near_z = jnp.abs(z.z) > 0.999
+    not_y_axis = (z.x != 0.0) | (z.z != 0.0)
+    zero = jnp.zeros_like(z.x)
     up = V3(
-        jnp.where(near_z, 1.0, 0.0),
-        jnp.zeros_like(z.y),
-        jnp.where(near_z, 0.0, 1.0),
+        jnp.where(not_y_axis, 0.0, 1.0),
+        jnp.where(not_y_axis, 1.0, 0.0),
+        zero,
     )
     x = normalize(cross(up, z))
     y = cross(z, x)
+    return x, y, z
+
+
+def make_coordinate_space_tangent(normal: V3, tangent: V3):
+    """Two-direction frame (RMath.h:960-966): Z = normalized normal,
+    Y = normalize(tangent x Z), X = Z x Y — X aligned as much as possible
+    with the tangent."""
+    z = normalize(normal)
+    y = normalize(cross(tangent, z))
+    x = cross(z, y)
     return x, y, z
 
 

@@ -67,19 +67,19 @@ def reflect(v: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 def make_coordinate_space(normal: jnp.ndarray):
     """Build an orthonormal frame with Z = normal.
 
-    Mirrors makeCoordinateSpace (Rayito_Stage7_QT/RMath.h:946-955): pick a
-    fixed 'up' axis based on the normal's dominant component, derive X and Y.
+    The reference's exact up-vector rule (Rayito_Stage7_QT/RMath.h:946-955):
+    v2 = (0,1,0) unless the normalized direction is exactly +/-Y
+    (z.x == 0 AND z.z == 0), in which case (1,0,0).
     Returns (x_axis, y_axis, z_axis), each [..., 3].
     """
     z = normalize(normal)
     zx, zy, zz = z[..., 0], z[..., 1], z[..., 2]
-    # Reference picks up = +Z unless normal is nearly +Z, then +X.
-    near_z = jnp.abs(zz) > 0.999
+    not_y_axis = (zx != 0.0) | (zz != 0.0)
     up = jnp.stack(
         [
-            jnp.where(near_z, jnp.ones_like(zx), jnp.zeros_like(zx)),
-            jnp.zeros_like(zy),
-            jnp.where(near_z, jnp.zeros_like(zz), jnp.ones_like(zz)),
+            jnp.where(not_y_axis, jnp.zeros_like(zx), jnp.ones_like(zx)),
+            jnp.where(not_y_axis, jnp.ones_like(zy), jnp.zeros_like(zy)),
+            jnp.zeros_like(zz),
         ],
         axis=-1,
     )

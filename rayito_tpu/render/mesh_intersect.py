@@ -62,6 +62,44 @@ def _slab6(ox, oy, oz, ix, iy, iz, tmin, tmax, bx0, by0, bz0, bx1, by1, bz1):
     return jnp.where(t0 <= t1, t0, INF)
 
 
+TINY_TRI_MAX = 48  # per-triangle scalar fold below this count (see below)
+
+
+def _tiny_mesh_fold(scene, mi: int, o: V3, d: V3, tmin, tmax):
+    """Per-triangle scalar fold for TINY meshes (the stage-7 tumbling cubes:
+    12 triangles each). A dense [N, T] Möller-Trumbore pads its minor dim to
+    128 lanes, costing ~128 lane-ops per ray per op regardless of T; a host
+    loop of T per-triangle [N]-wide tests costs ~45*T — an order of magnitude
+    less for T <= ~100. Each triangle's vertices come from one STATIC row of
+    tri_vert_rows (XLA constant-folds the row access), so the whole fold is
+    a fused elementwise stream with zero gathers, sorts, or top_k.
+
+    Same contract as mesh_intersect_clusters; overflow is structurally 0."""
+    from ..ops.intersect import triangle_intersect
+
+    tri0, tcount = scene.mesh_tri_ranges[mi]
+    n = o.shape[0]
+    t_best = jnp.full((n,), INF)
+    prim = jnp.full((n,), -1, jnp.int32)
+    beta = jnp.zeros((n,), jnp.float32)
+    gamma = jnp.zeros((n,), jnp.float32)
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    for j in range(tcount):
+        row = scene.tri_vert_rows[tri0 + j]  # [16] static row -> constants
+        t_j, hit, b_j, g_j, _ = triangle_intersect(
+            o, d, tmin, jnp.minimum(t_best, tmax),
+            V3(row[0], row[1], row[2]),
+            V3(row[3], row[4], row[5]),
+            V3(row[6], row[7], row[8]),
+        )
+        closer = hit & (t_j < t_best)
+        t_best = jnp.where(closer, t_j, t_best)
+        prim = jnp.where(closer, jnp.int32(tri0 + j), prim)
+        beta = jnp.where(closer, b_j, beta)
+        gamma = jnp.where(closer, g_j, gamma)
+    return t_best, prim, beta, gamma, jnp.int32(0)
+
+
 def _brute_force_mesh(scene, cl0, n_cl, tri0, o: V3, d: V3, tmin, tmax):
     """Dense MT over every triangle row of a small mesh."""
     from ..ops.intersect import triangle_intersect
@@ -102,9 +140,12 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
     inv_d = 1.0 / d
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
 
-    # Small meshes: clustering machinery costs more than it saves — run one
-    # dense [N, T] Möller-Trumbore over all rows instead (the reference's
-    # own top-level heuristic in spirit: brute force when tiny, RScene.h:135)
+    # Small meshes: clustering machinery costs more than it saves — the
+    # reference's own top-level heuristic in spirit (brute force when tiny,
+    # RScene.h:135). TINY meshes use a per-triangle scalar fold (no 128-lane
+    # padding at all); small-but-not-tiny ones a dense [N, T] block.
+    if scene.tiny_fold and scene.mesh_tri_ranges[mi][1] <= TINY_TRI_MAX:
+        return _tiny_mesh_fold(scene, mi, o, d, tmin, tmax)
     if n_cl <= 4:
         return _brute_force_mesh(scene, cl0, n_cl, tri0, o, d, tmin, tmax)
 
@@ -237,13 +278,18 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
         )
         return t_slots, prim_slots, overflow, ci + 1
 
+    from ..utils.vma import carry_init
+
     t_slots, prim_slots, overflow, _ = jax.lax.while_loop(
         blk_cond,
         blk_body,
         (
-            jnp.full((max_blocks * R,), INF, jnp.float32),
-            jnp.full((max_blocks * R,), -1, jnp.int32),
-            jnp.int32(0),
+            # slot buffers / overflow counter become varying inside the body
+            # (mixed with per-shard ray state); carry_init marks the fresh
+            # inits varying too when tracing under shard_map (utils/vma.py)
+            carry_init(jnp.full((max_blocks * R,), INF, jnp.float32)),
+            carry_init(jnp.full((max_blocks * R,), -1, jnp.int32)),
+            carry_init(jnp.int32(0)),
             jnp.int32(0),
         ),
     )

@@ -61,6 +61,12 @@ SB = 2048  # rays per grid step
 # dominate the extra scans) and beats 64/32 (42.1 / 132.8 vs 103 ms —
 # per-block fixed costs overtake the union gains).
 B = int(os.environ.get("RAYITO_TRAVERSE_B", "128"))
+if B <= 0 or SB % B or (B & (B - 1)):
+    raise ValueError(
+        f"RAYITO_TRAVERSE_B={B!r}: must be a positive power of two dividing "
+        f"{SB} — any other value would leave trailing rays of every grid "
+        "step unprocessed (their output blocks never written)"
+    )
 RB = SB // B  # ray-blocks per grid step
 _INF = float("inf")  # python scalar: folds into kernel constants
 _IMAX = jnp.iinfo(jnp.int32).max
@@ -97,14 +103,56 @@ def _pack_key(t_f32, lane):
 
 def _traverse_kernel(
     ctz_ref,  # scalar-prefetch [32] i32 de Bruijn ctz table
-    mask_ref,  # [1, RB, n_words] i32 cluster bit-masks, SMEM block per step
+    mask_ref,  # [1, 1, RB, nw] i32 cluster bit-masks for THIS chunk, SMEM
     soat_ref,  # [1, SB, 8] f32: ox oy oz dx dy dz tmax pad, rays on sublanes
-    tri_ref,  # [C, 16, KTRI] f32 triangle table (VMEM-resident)
+    tri_ref,  # [1, chunk, 16, KTRI] f32 triangles ('vpu') |
+    #           [1, chunk, 16, 4*KTRI] Plücker/plane weight blocks ('mxu',
+    #           accel/kernel_tables.py build_mxu_weights) — one streamed
+    #           chunk of the cluster table
     tout_ref, pout_ref,  # [1, SB, 1]
-    kbest_ref, cbest_ref,  # [B, 1] i32 scratch
-    *, n_words: int, tmin: float,
+    kbest_ref, cbest_ref,  # [SB, 1] i32 scratch (persist across chunks)
+    p_ref=None,  # [SB, 16] f32 ray-feature scratch ('mxu' only)
+    *, n_words: int, tmin: float, mt_mode: str = "vpu", n_chunks: int = 1,
+    chunk: int = 0,
 ):
+    """Grid = (ray step, cluster chunk), chunk minor. The per-ray running
+    best (packed key + global cluster id) lives in [SB] scratch that
+    persists across the chunk axis: chunk 0 initializes it from tmax, every
+    chunk folds its clusters in, and the LAST chunk emits the outputs. With
+    one chunk this degenerates to the round-2 resident-table kernel; with
+    many, the tri operand is a pipelined VMEM block and the table size is
+    unbounded (VERDICT r2 item 4 — the reference's heap-allocated BVH has
+    no size limit either, RAccel.h:262-290)."""
+    k_id = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, KTRI), 1)
+
+    @pl.when(k_id == 0)
+    def _init():
+        # clamp: inf tmax would pack to NaN bits (exponent all-ones)
+        tmax_col = soat_ref[0, :, 6:7]
+        kbest_ref[...] = _pack_key(
+            jnp.minimum(tmax_col, 3e38), jnp.int32(KTRI - 1)
+        )
+        cbest_ref[...] = jnp.full((SB, 1), -1, jnp.int32)
+        if mt_mode == "mxu":
+            # per-step ray features P = [d, o×d, o, 1, 0...] — the matmul's
+            # contraction operand, built once for all RB ray-blocks
+            colv = lambda k: soat_ref[0, :, k : k + 1]
+            ox_a, oy_a, oz_a = colv(0), colv(1), colv(2)
+            dx_a, dy_a, dz_a = colv(3), colv(4), colv(5)
+            p_ref[...] = jnp.zeros((SB, 16), jnp.float32)
+            p_ref[:, 0:1] = dx_a
+            p_ref[:, 1:2] = dy_a
+            p_ref[:, 2:3] = dz_a
+            p_ref[:, 3:4] = oy_a * dz_a - oz_a * dy_a
+            p_ref[:, 4:5] = oz_a * dx_a - ox_a * dz_a
+            p_ref[:, 5:6] = ox_a * dy_a - oy_a * dx_a
+            p_ref[:, 6:7] = ox_a
+            p_ref[:, 7:8] = oy_a
+            p_ref[:, 8:9] = oz_a
+            p_ref[:, 9:10] = jnp.ones((SB, 1), jnp.float32)
+
+    c_base = k_id * chunk  # global id of this chunk's first cluster
 
     def ray_block(r, carry):  # fori_loop: ONE copy of the MT machinery
         # regardless of RB (a static python loop multiplied Mosaic compile
@@ -113,14 +161,52 @@ def _traverse_kernel(
         rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
         ox, oy, oz = rd(0), rd(1), rd(2)
         dx, dy, dz = rd(3), rd(4), rd(5)
-        tmax = rd(6)
 
-        # clamp: inf tmax would pack to NaN bits (exponent all-ones)
-        kbest_ref[:] = _pack_key(jnp.minimum(tmax, 3e38), jnp.int32(KTRI - 1))
-        cbest_ref[:] = jnp.full((B, 1), -1, jnp.int32)
+        # The running best rides the LOOP CARRY as [B, 1] values (vregs),
+        # not per-MT scratch slices: a dynamic-slice read/modify/write of
+        # the [SB] scratch per cluster measured ~6x slower than the carried
+        # form (Mosaic does not hoist the scalar-offset slices out of the
+        # bit-scan loop). Scratch is only touched once per ray-block — read
+        # at entry, written at exit — which is what lets the state persist
+        # across streamed chunks.
 
-        def mt(c):
-            rows = tri_ref[c]  # [16, 128] VMEM block
+        def mt_mxu(c, kb, cb):
+            """MXU variant (VERDICT r2 item 1): ONE [B,16]x[16,512] matmul
+            against the cluster's precomputed Plücker/plane weight block
+            yields w0 | w1 | w2 | tnum (128 lanes each); the epilogue is
+            sign-agreement + t = tnum/(w0+w1+w2) + the same key/min update
+            as the VPU path. Precision HIGHEST: f32 operands on the MXU
+            (bf16 passes underneath); DEFAULT (1-pass bf16, ~2^-8 relative)
+            misclassifies edge-adjacent rays far beyond the re-test's
+            tolerance."""
+            w = tri_ref[0, c]  # [16, 4*KTRI] VMEM block
+            z = jax.lax.dot_general(
+                p_ref[pl.ds(lo, B), :], w,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B, 4*KTRI]
+            w0 = z[:, 0:KTRI]
+            w1 = z[:, KTRI : 2 * KTRI]
+            w2 = z[:, 2 * KTRI : 3 * KTRI]
+            tn = z[:, 3 * KTRI : 4 * KTRI]
+            den = w0 + w1 + w2
+            inside = (
+                (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+            ) | ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0))
+            t = tn / den  # den == 0 -> inf/nan -> range compares fail
+            tb = pltpu.bitcast(kb | jnp.int32(KTRI - 1), jnp.float32)
+            ok = inside & (t >= tmin) & (t <= tb)
+            key = jnp.where(ok, _pack_key(t, lane), _IMAX)
+            kmin = jnp.min(key, axis=1, keepdims=True)
+            better = kmin < kb
+            return (
+                jnp.where(better, kmin, kb),
+                jnp.where(better, c_base + c, cb),
+            )
+
+        def mt_vpu(c, kb, cb):
+            rows = tri_ref[0, c]  # [16, 128] VMEM block
             v0x, v0y, v0z = rows[0:1], rows[1:2], rows[2:3]
             e1x, e1y, e1z = rows[3:4], rows[4:5], rows[5:6]
             e2x, e2y, e2z = rows[6:7], rows[7:8], rows[8:9]
@@ -139,7 +225,6 @@ def _traverse_kernel(
             qz = tx * e1y - ty * e1x
             v = (dx * qx + dy * qy + dz * qz) * inv
             t = (e2x * qx + e2y * qy + e2z * qz) * inv
-            kb = kbest_ref[:]
             tb = pltpu.bitcast(kb | jnp.int32(KTRI - 1), jnp.float32)
             # det==0 -> inv inf -> u/v/t inf or nan -> comparisons fail
             ok = (
@@ -152,96 +237,169 @@ def _traverse_kernel(
             key = jnp.where(ok, _pack_key(t, lane), _IMAX)
             kmin = jnp.min(key, axis=1, keepdims=True)
             better = kmin < kb
-            kbest_ref[:] = jnp.where(better, kmin, kb)
-            cbest_ref[:] = jnp.where(better, c, cbest_ref[:])
+            return (
+                jnp.where(better, kmin, kb),
+                jnp.where(better, c_base + c, cb),
+            )
+
+        mt = mt_mxu if mt_mode == "mxu" else mt_vpu
 
         # scalar-core bit-scan of this block's cluster mask: iterate set
         # bits lowest-first, one unconditional MT block per set bit. The
         # word loop is a fori_loop so the MT body is inlined ONCE per
         # ray-block (a statically unrolled word loop multiplied Mosaic
         # compile time by n_words).
-        def scan_word(w, carry):
+        def scan_word(w, kc):
+            kb, cb = kc
+
             def has_bits(s):
                 return s[1] != 0
 
             def next_bit(s):
-                w, bits = s
+                w, bits, kb, cb = s
                 low = bits & -bits
                 idx = jax.lax.shift_right_logical(
                     low * jnp.int32(_DEBRUIJN_MUL), 27
                 )
                 c = w * 32 + ctz_ref[idx]
-                mt(c)
-                return w, bits & (bits - 1)
+                kb, cb = mt(c, kb, cb)
+                return w, bits & (bits - 1), kb, cb
 
-            jax.lax.while_loop(has_bits, next_bit, (w, mask_ref[0, r, w]))
-            return carry
+            _, _, kb, cb = jax.lax.while_loop(
+                has_bits, next_bit, (w, mask_ref[0, 0, r, w], kb, cb)
+            )
+            return kb, cb
 
-        jax.lax.fori_loop(0, n_words, scan_word, 0)
-
-        cb = cbest_ref[:]
-        found = cb >= 0
-        t_out = pltpu.bitcast(kbest_ref[:] & ~jnp.int32(KTRI - 1), jnp.float32)
-        tout_ref[0, pl.ds(lo, B), :] = jnp.where(found, t_out, _INF)
-        pout_ref[0, pl.ds(lo, B), :] = jnp.where(
-            found, cb * KTRI + (kbest_ref[:] & jnp.int32(KTRI - 1)), -1
+        kb, cb = jax.lax.fori_loop(
+            0,
+            n_words,
+            scan_word,
+            (kbest_ref[pl.ds(lo, B), :], cbest_ref[pl.ds(lo, B), :]),
         )
+        kbest_ref[pl.ds(lo, B), :] = kb
+        cbest_ref[pl.ds(lo, B), :] = cb
         return carry
 
     jax.lax.fori_loop(0, RB, ray_block, 0)
 
+    @pl.when(k_id == n_chunks - 1)
+    def _emit():
+        cb = cbest_ref[...]
+        kb = kbest_ref[...]
+        found = cb >= 0
+        t_out = pltpu.bitcast(kb & ~jnp.int32(KTRI - 1), jnp.float32)
+        tout_ref[0] = jnp.where(found, t_out, _INF)
+        pout_ref[0] = jnp.where(
+            found, cb * KTRI + (kb & jnp.int32(KTRI - 1)), -1
+        )
 
-@functools.partial(jax.jit, static_argnames=("tmin", "interpret"))
-def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool):
-    """masks: [n_blocks, n_words] i32; soat: [n_steps, SB, 8] f32.
-    Returns (t, prim) each [n_steps, SB, 1].
 
-    Masks ride as a pipelined per-step SMEM block, NOT a scalar-prefetch
-    operand: prefetch materializes the whole array in SMEM at ~32 B per
-    entry, which caps n_blocks*n_words at 32k entries (1 MB) — hit by both
-    B=64 and merged 262k-ray occlusion launches."""
+# clusters per streamed tri-table chunk (multiple of 32; 512 clusters =
+# 4 MB vpu / 16 MB mxu per chunk). Tables at or below this stay fully
+# VMEM-resident (one chunk, fetched once across all ray steps).
+TRI_CHUNK = int(os.environ.get("RAYITO_TRI_CHUNK", "512"))
+if TRI_CHUNK <= 0 or TRI_CHUNK % 32:
+    raise ValueError(f"RAYITO_TRI_CHUNK={TRI_CHUNK!r}: must be a positive "
+                     "multiple of 32 (mask words are 32 clusters each)")
+
+
+@functools.partial(jax.jit, static_argnames=("tmin", "interpret", "mt_mode"))
+def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool,
+                     mt_mode: str = "vpu"):
+    """masks: [n_blocks, n_words] i32; soat: [n_steps, SB, 8] f32;
+    tri: [C, 16, KTRI] triangles ('vpu') or [C, 16, 4*KTRI] MXU weight
+    blocks ('mxu'). Returns (t, prim) each [n_steps, SB, 1].
+
+    Tables larger than TRI_CHUNK clusters are STREAMED: the grid gains a
+    minor cluster-chunk axis and the tri operand arrives as pipelined VMEM
+    blocks (double-buffered DMA overlaps the MT compute), so table size is
+    bounded by HBM, not VMEM. Masks ride as pipelined per-(step, chunk)
+    SMEM blocks, NOT a scalar-prefetch operand: prefetch materializes the
+    whole array in SMEM at ~32 B per entry, which caps n_blocks*n_words at
+    32k entries (1 MB) — hit by both B=64 and merged 262k-ray occlusion
+    launches."""
+    f32 = jnp.float32
     n_steps = soat.shape[0]
-    n_words = masks.shape[1]
     c = tri.shape[0]
-    masks3 = masks.reshape(n_steps, RB, n_words)
+    lanes = tri.shape[2]
+    # wider tables (mxu weights are 4x KTRI lanes) stream in proportionally
+    # smaller chunks so the per-chunk VMEM footprint stays constant
+    eff_chunk = max(32, (TRI_CHUNK * KTRI // lanes) // 32 * 32)
+    if c <= eff_chunk:
+        n_chunks, chunk = 1, max(c, 1)
+        nw = masks.shape[1]
+        tri4 = tri.reshape(1, chunk, 16, lanes)
+        masks4 = masks.reshape(n_steps, 1, RB, nw)
+    else:
+        chunk = eff_chunk
+        n_chunks = -(-c // chunk)
+        cpad = n_chunks * chunk - c
+        if cpad:
+            tri = jnp.concatenate(
+                [tri, jnp.zeros((cpad, 16, lanes), f32)], axis=0
+            )  # zero rows are degenerate triangles -> structural misses
+        tri4 = tri.reshape(n_chunks, chunk, 16, lanes)
+        nw = chunk // 32
+        total_w = n_chunks * nw
+        mw = masks.shape[1]
+        if mw < total_w:
+            masks = jnp.concatenate(
+                [masks,
+                 jnp.zeros((masks.shape[0], total_w - mw), jnp.int32)], axis=1
+            )
+        elif mw > total_w:  # bits past the real cluster count are never set
+            masks = masks[:, :total_w]
+        # [n_steps, n_chunks, RB, nw]: the SMEM block must cover the FULL
+        # trailing (RB, nw) dims (Mosaic's last-two-dims rule), so the
+        # chunk axis is a leading dim selected by the index map
+        masks4 = masks.reshape(n_steps, RB, n_chunks, nw).transpose(
+            0, 2, 1, 3
+        )
+
+    scratch = [
+        pltpu.VMEM((SB, 1), jnp.int32),  # kbest (packed t|lane), per step
+        pltpu.VMEM((SB, 1), jnp.int32),  # cbest (global cluster id)
+    ]
+    if mt_mode == "mxu":
+        scratch.append(pltpu.VMEM((SB, 16), jnp.float32))  # ray features P
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_steps,),
+        grid=(n_steps, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, RB, n_words), lambda i, z: (i, 0, 0),
+                (1, 1, RB, nw), lambda i, k, z: (i, k, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, SB, 8), lambda i, z: (i, 0, 0),
+                (1, SB, 8), lambda i, k, z: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (c, 16, KTRI), lambda i, z: (0, 0, 0),
+                (1, chunk, 16, lanes), lambda i, k, z: (k, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, SB, 1), lambda i, z: (i, 0, 0),
+                (1, SB, 1), lambda i, k, z: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ) * 2,
-        scratch_shapes=[
-            pltpu.VMEM((B, 1), jnp.int32),  # kbest (packed t|lane)
-            pltpu.VMEM((B, 1), jnp.int32),  # cbest
-        ],
+        scratch_shapes=scratch,
     )
     ctz = jnp.asarray(_DEBRUIJN_TABLE, jnp.int32)
     return pl.pallas_call(
-        functools.partial(_traverse_kernel, n_words=n_words, tmin=tmin),
+        functools.partial(
+            _traverse_kernel, n_words=nw, tmin=tmin, mt_mode=mt_mode,
+            n_chunks=n_chunks, chunk=chunk,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((n_steps, SB, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, SB, 1), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ctz, masks3, soat, tri)
+    )(ctz, masks4, soat, tri4)
 
 
 def _mask_kernel(
@@ -443,7 +601,7 @@ def _coherence_key(ox, oy, oz, dx, dy, dz, tmax, cl_box, tmin):
 
 def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              interpret: bool | None = None, sort_rays: bool | None = None,
-             want_t: bool = True):
+             want_t: bool = True, mt_mode: str = "vpu"):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -542,7 +700,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         )
 
     t_bn, p_bn = _traverse_blocks(
-        masks, soat, tables.tri, tmin=float(tmin), interpret=bool(interpret)
+        masks, soat, tables.tri, tmin=float(tmin), interpret=bool(interpret),
+        mt_mode=mt_mode,
     )
     if mode == "off":
         t = t_bn.reshape(n_steps * SB)

@@ -63,8 +63,13 @@ def render_progressive(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
     on_progress: Optional[Callable[[RenderStats], None]] = None,
+    on_preview: Optional[Callable[[np.ndarray, RenderStats], None]] = None,
 ):
     """Render config.pixel_samples² samples/pixel in resumable chunks.
+
+    ``on_preview`` (if given) receives the CURRENT mean-radiance image
+    [H,W,3] and stats after every chunk — the live-viewer feed (the Qt
+    window's image-watching role, Rayito_Stage7_QT/MainWindow.cpp:37-91).
 
     Returns (image [H,W,3] mean radiance, RenderStats). Large frames
     (width*height > config.max_rays_per_pass) are rendered in pixel-row
@@ -147,12 +152,14 @@ def render_progressive(
         ):
             save_checkpoint()
             chunks_since_save = 0
-        if on_progress:
-            on_progress(
-                RenderStats(
-                    s_done, spp_total, time.perf_counter() - t0, rays, overflow
-                )
+        if on_progress or on_preview:
+            st = RenderStats(
+                s_done, spp_total, time.perf_counter() - t0, rays, overflow
             )
+            if on_progress:
+                on_progress(st)
+            if on_preview:
+                on_preview(acc / np.float32(max(s_done, 1)), st)
 
     if overflow:
         print(

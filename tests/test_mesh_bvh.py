@@ -203,3 +203,50 @@ def test_native_lib_active_and_agrees_with_python():
     v2 = m_py.vertices[m_py.indices[:, 2]]
     order_n = native.bvh_order(v0, v1, v2)
     assert sorted(order_n.tolist()) == list(range(len(v0)))
+
+
+def test_tiny_fold_matches_brute_force():
+    """The per-triangle scalar fold (TPU fast path for tiny meshes —
+    mesh_intersect.TINY_TRI_MAX) must agree with the dense brute-force
+    block: same hit set / prim ids, t to float tolerance. The fold is
+    compile-time gated (SceneData.tiny_fold, TPU-only by default) because
+    its fusion plan is shape-dependent on XLA:CPU; here we force both paths
+    on the same scene via dataclasses.replace."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    import rayito_tpu as rt
+    from rayito_tpu.models.demo import inline_box_mesh
+    from rayito_tpu.ops.vec3 import V3
+    from rayito_tpu.render.mesh_intersect import mesh_intersect_clusters
+
+    b = rt.Scene()
+    b.add(inline_box_mesh(rt.DiffuseMaterial((0.8, 0.3, 0.1))))
+    scene = b.compile()
+    rs = np.random.default_rng(7)
+    n = 1024
+    o = rs.uniform(-3, 3, (n, 3)).astype(np.float32)
+    o[:, 2] += 6.0
+    tgt = np.asarray([0.5, -1.5, -1.5]) + rs.normal(0, 0.6, (n, 3))
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+
+    t_a, p_a, b_a, g_a, _ = mesh_intersect_clusters(
+        dataclasses.replace(scene, tiny_fold=True), 0, ov, dv, 1e-4, tmax
+    )
+    t_b, p_b, b_b, g_b, _ = mesh_intersect_clusters(
+        dataclasses.replace(scene, tiny_fold=False), 0, ov, dv, 1e-4, tmax
+    )
+    p_a, p_b = np.asarray(p_a), np.asarray(p_b)
+    hit = p_b >= 0
+    assert hit.sum() > n // 4
+    np.testing.assert_array_equal(p_a >= 0, hit)
+    np.testing.assert_array_equal(p_a[hit], p_b[hit])
+    np.testing.assert_allclose(np.asarray(t_a)[hit], np.asarray(t_b)[hit],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_a)[hit], np.asarray(b_b)[hit],
+                               atol=1e-5)

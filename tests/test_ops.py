@@ -33,6 +33,76 @@ def test_coordinate_space_orthonormal():
     np.testing.assert_allclose(np.asarray(z), np.asarray(n), atol=1e-5)
 
 
+def _frame_f64(normal, tangent=None):
+    """f64 port of RMath.h:946-966 makeCoordinateSpace (both overloads) —
+    the parity oracle for the f32 implementations."""
+    z = np.asarray(normal, np.float64)
+    z = z / np.linalg.norm(z, axis=-1, keepdims=True)
+    if tangent is None:
+        not_y = (z[..., 0] != 0.0) | (z[..., 2] != 0.0)
+        up = np.stack(
+            [np.where(not_y, 0.0, 1.0), np.where(not_y, 1.0, 0.0),
+             np.zeros_like(z[..., 2])], axis=-1,
+        )
+        x = np.cross(up, z)
+        x = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        y = np.cross(z, x)
+    else:
+        tg = np.asarray(tangent, np.float64)
+        y = np.cross(tg, z)
+        y = y / np.linalg.norm(y, axis=-1, keepdims=True)
+        x = np.cross(z, y)
+    return x, y, z
+
+
+def test_coordinate_space_matches_reference_rule():
+    """Both the AoS (vecmath) and SoA (vec3) frames must reproduce the
+    reference's exact up-vector choice (RMath.h:946-955), including normals
+    near (but not at) +/-Y — the old near-axis threshold picked a different
+    branch there — and exactly at +/-Y."""
+    from rayito_tpu.ops import vec3 as v3m
+
+    rs = np.random.default_rng(7)
+    n = rs.normal(size=(256, 3)).astype(np.float32)
+    # near-axis rows the old |z.z|>0.999 rule misclassified, + exact axes
+    n = np.concatenate([
+        n,
+        np.asarray([[1e-4, 1.0, 0.0], [0.0, 1.0, 1e-4], [0.0, 1.0, 0.0],
+                    [0.0, -1.0, 0.0], [0.0, 0.0, 1.0], [1.0, 0.0, 0.0]],
+                   np.float32),
+    ])
+    xr, yr, zr = _frame_f64(n)
+    x, y, z = vm.make_coordinate_space(jnp.asarray(n))
+    np.testing.assert_allclose(np.asarray(x), xr, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y), yr, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z), zr, atol=2e-5)
+    nv = from_aos(jnp.asarray(n))
+    xs, ys, zs = v3m.make_coordinate_space(nv)
+    np.testing.assert_allclose(np.asarray(to_aos(xs)), xr, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(to_aos(ys)), yr, atol=2e-5)
+
+
+def test_coordinate_space_tangent_overload():
+    """2-arg frame (RMath.h:960-966): Z = normal, Y = norm(tangent x Z),
+    X = Z x Y, pinned against the f64 port."""
+    from rayito_tpu.ops import vec3 as v3m
+
+    rs = np.random.default_rng(9)
+    n = rs.normal(size=(128, 3)).astype(np.float32)
+    tg = rs.normal(size=(128, 3)).astype(np.float32)
+    xr, yr, zr = _frame_f64(n, tg)
+    xs, ys, zs = v3m.make_coordinate_space_tangent(
+        from_aos(jnp.asarray(n)), from_aos(jnp.asarray(tg))
+    )
+    np.testing.assert_allclose(np.asarray(to_aos(xs)), xr, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(to_aos(ys)), yr, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(to_aos(zs)), zr, atol=2e-5)
+    # X aligns with the tangent as much as possible: dot(x, tangent) >= 0
+    # and x lies in the (tangent, z) ... plane projection check
+    tgu = tg / np.linalg.norm(tg, axis=-1, keepdims=True)
+    assert (np.einsum("ij,ij->i", np.asarray(to_aos(xs)), tgu) > -1e-6).all()
+
+
 def test_frame_round_trip():
     n = vm.normalize(jnp.asarray(_rand((64, 3), 1) * 2 - 1))
     v = jnp.asarray(_rand((64, 3), 2) * 2 - 1)

@@ -4,9 +4,12 @@ The Pallas kernel path (render/pallas_traverse.py + the merged static domain
 of accel/kernel_tables.py) must produce the same scene intersections as the
 XLA cluster pipeline (render/mesh_intersect.py): same hit/miss, same shape /
 material / normal, t within the re-test's float tolerance. Runs in kernel
-interpreter mode on the CPU test platform (RAYITO_TRAVERSAL=pallas forces the
-kernel path off-TPU).
+interpreter mode on the CPU test platform (the scene's static ``traversal``
+field forces the kernel path off-TPU; switching it re-keys every jit cache,
+so no cache clearing is needed between implementations).
 """
+
+import dataclasses
 
 import numpy as np
 import jax
@@ -26,7 +29,7 @@ def _shift_mesh(mesh, offset):
     return mesh
 
 
-def _static_two_mesh_scene():
+def _static_two_mesh_scene(**compile_kw):
     """Two identity-transform meshes -> ONE merged Pallas domain."""
     b = rt.Scene()
     b.add(_shift_mesh(inline_box_mesh(rt.DiffuseMaterial((0.8, 0.3, 0.1))),
@@ -36,10 +39,10 @@ def _static_two_mesh_scene():
     b.add(rt.Sphere((0.0, 3.0, 0.0), 1.0, rt.DiffuseMaterial((0.5, 0.5, 0.9))))
     b.add(rt.RectangleLight((-2.5, 6.0, -2.5), (5.0, 0.0, 0.0),
                             (0.0, 0.0, 5.0), (1.0, 1.0, 1.0), 2.0))
-    return b.compile()
+    return b.compile(**compile_kw)
 
 
-def _motion_mesh_scene():
+def _motion_mesh_scene(**compile_kw):
     """One static + one keyed-transform mesh -> two Pallas domains."""
     b = rt.Scene()
     b.add(_shift_mesh(inline_box_mesh(rt.DiffuseMaterial((0.8, 0.3, 0.1))),
@@ -53,7 +56,7 @@ def _motion_mesh_scene():
     b.add(moving)
     b.add(rt.RectangleLight((-2.5, 6.0, -2.5), (5.0, 0.0, 0.0),
                             (0.0, 0.0, 5.0), (1.0, 1.0, 1.0), 2.0))
-    return b.compile()
+    return b.compile(**compile_kw)
 
 
 def _random_rays(n, seed, aim=(0.0, 0.5, 0.0), spread=6.0):
@@ -69,11 +72,10 @@ def _random_rays(n, seed, aim=(0.0, 0.5, 0.0), spread=6.0):
     )
 
 
-def _both_impls(fn, monkeypatch):
-    monkeypatch.setenv("RAYITO_TRAVERSAL", "xla")
-    ref = fn()
-    monkeypatch.setenv("RAYITO_TRAVERSAL", "pallas")
-    got = fn()
+def _both_impls(fn, scene):
+    """Run ``fn(scene_variant)`` under both traversal implementations."""
+    ref = fn(dataclasses.replace(scene, traversal="xla"))
+    got = fn(dataclasses.replace(scene, traversal="pallas"))
     return ref, got
 
 
@@ -81,8 +83,9 @@ def _both_impls(fn, monkeypatch):
     (_static_two_mesh_scene, 0.0),
     (_motion_mesh_scene, 0.37),
 ])
-def test_scene_intersect_parity(scene_fn, time, monkeypatch):
-    scene = scene_fn()
+@pytest.mark.parametrize("mt", ["vpu", "mxu"])
+def test_scene_intersect_parity(scene_fn, time, mt):
+    scene = scene_fn(traverse_mt=mt)
     if scene_fn is _static_two_mesh_scene:
         # both static meshes merge into ONE world-space kernel domain
         assert len(scene.ktab_xf) == 1 and scene.ktab_small == ()
@@ -95,11 +98,11 @@ def test_scene_intersect_parity(scene_fn, time, monkeypatch):
     o, d = _random_rays(n, seed=11)
     tmax = jnp.full((n,), 1e30, jnp.float32)
 
-    def run():
-        h = scene_intersect(scene, o, d, jnp.full((n,), time), 1e-4, tmax)
+    def run(sc):
+        h = scene_intersect(sc, o, d, jnp.full((n,), time), 1e-4, tmax)
         return h
 
-    ref, got = _both_impls(run, monkeypatch)
+    ref, got = _both_impls(run, scene)
     np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
     np.testing.assert_array_equal(
         np.asarray(got.shape_id), np.asarray(ref.shape_id)
@@ -126,27 +129,28 @@ def test_scene_intersect_parity(scene_fn, time, monkeypatch):
     # transformed box bypasses the kernel and must still occlude
     (_motion_mesh_scene, 0.37),
 ])
-def test_scene_occluded_parity(scene_fn, time, monkeypatch):
-    scene = scene_fn()
+@pytest.mark.parametrize("mt", ["vpu", "mxu"])
+def test_scene_occluded_parity(scene_fn, time, mt):
+    scene = scene_fn(traverse_mt=mt)
     n = 512
     o, d = _random_rays(n, seed=23)
     tmax = jnp.full((n,), 12.0, jnp.float32)
 
-    def run():
+    def run(sc):
         occ, _ = scene_occluded(
-            scene, o, d, jnp.full((n,), time), 1e-4, tmax
+            sc, o, d, jnp.full((n,), time), 1e-4, tmax
         )
         return occ
 
-    ref, got = _both_impls(run, monkeypatch)
+    ref, got = _both_impls(run, scene)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     assert np.asarray(ref).any()
 
 
-def test_full_render_parity(monkeypatch):
+def test_full_render_parity():
     """End-to-end: tiny path-traced frame identical between the traversal
-    implementations (jit caches cleared between runs — the impl switch is a
-    trace-time decision)."""
+    implementations (the impl choice is a static SceneData field, so each
+    variant gets its own jit cache entry — no cache clearing)."""
     from rayito_tpu.models.camera import PerspectiveCamera
     from rayito_tpu.render.pathtracer import render_path_with_stats
     from rayito_tpu.utils.config import RenderConfig
@@ -158,11 +162,107 @@ def test_full_render_parity(monkeypatch):
     cfg = RenderConfig(width=24, height=16, pixel_samples=1, light_samples=1,
                       max_depth=2)
 
-    def run():
-        jax.clear_caches()
-        img, ovf, q = render_path_with_stats(scene, cfg, cam)
+    def run(sc):
+        img, ovf, q = render_path_with_stats(sc, cfg, cam)
         return np.asarray(img)
 
-    ref, got = _both_impls(run, monkeypatch)
+    ref, got = _both_impls(run, scene)
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_streamed_tri_table_parity(monkeypatch):
+    """Tables beyond TRI_CHUNK clusters stream through VMEM in chunks
+    (VERDICT r2 item 4 — no ktab_fits size cap anymore). Forcing a tiny
+    chunk size must leave scene intersections BIT-identical to the
+    resident-table path, through the public scene API."""
+    import rayito_tpu.render.pallas_traverse as pt
+
+    # 51x51x2 = 5202 triangles -> 41 kernel clusters: 2 chunks at
+    # TRI_CHUNK=32 (the smallest legal chunk)
+    g = 52
+    gx, gz = np.meshgrid(np.linspace(-3, 3, g), np.linspace(-3, 3, g),
+                         indexing="ij")
+    gy = 0.5 * np.sin(gx * 1.3) * np.cos(gz * 1.1)
+    verts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+    idx = []
+    for i in range(g - 1):
+        for j in range(g - 1):
+            a = i * g + j
+            idx.append((a, a + 1, a + g + 1))
+            idx.append((a, a + g + 1, a + g))
+    b = rt.Scene()
+    b.add(rt.TriangleMesh(vertices=verts, indices=np.asarray(idx, np.int32),
+                          material=rt.DiffuseMaterial((0.6, 0.5, 0.4))))
+    b.add(rt.RectangleLight((-2, 6, -2), (4, 0, 0), (0, 0, 4),
+                            (1.0, 1.0, 1.0), 2.0))
+    scene = b.compile(traversal="pallas")
+    assert scene.ktab_tri[0].shape[0] > 32  # must exceed the forced chunk
+
+    n = 512
+    o, d = _random_rays(n, seed=43, aim=(0.0, 0.0, 0.0))
+    time = jnp.zeros((n,), jnp.float32)
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+
+    def run():
+        jax.clear_caches()  # TRI_CHUNK is read at trace time
+        h = scene_intersect(scene, o, d, time, 1e-4, tmax)
+        return (np.asarray(h.t), np.asarray(h.valid), np.asarray(h.shape_id))
+
+    monkeypatch.setattr(pt, "TRI_CHUNK", 512)
+    t_res, v_res, s_res = run()
+    monkeypatch.setattr(pt, "TRI_CHUNK", 32)  # smallest legal chunk
+    t_str, v_str, s_str = run()
+    assert v_res.sum() > n // 4
+    np.testing.assert_array_equal(v_str, v_res)
+    np.testing.assert_array_equal(s_str, s_res)
+    np.testing.assert_array_equal(t_str, t_res)
+
+
+def test_occlusion_respects_exact_tmax():
+    """The kernel's packed key quantizes t to 128-ulp buckets; the occlusion
+    path must NOT let that quantization accept hits at t >= tmax (the strict
+    t < tmax test — a shadow ray whose tmax lands exactly ON a surface, e.g.
+    the sampled light triangle itself, is unoccluded by it). Regression for
+    the round-down-tmax fix in scene_occluded: without it, every lane here
+    whose hit-t has nonzero low mantissa bits reports a false occlusion."""
+    scene = _static_two_mesh_scene()
+    n = 512
+    # aim straight at the two boxes so most rays hit MESH geometry (the
+    # kernel path is what's under test; analytic shapes occlude elsewhere)
+    rs = np.random.default_rng(31)
+    # inline_box_mesh spans [0,1]x[-2,-1]x[-2,-1]; the scene shifts copies
+    # by (-2,0,0) and (2.5,0.5,-1) -> centers below
+    tgts = np.where(
+        (np.arange(n) % 2 == 0)[:, None],
+        np.asarray([-1.5, -1.5, -1.5]),
+        np.asarray([3.0, -1.0, -2.5]),
+    ) + rs.normal(0, 0.2, (n, 3))
+    og = rs.uniform(-4, 4, (n, 3)).astype(np.float32)
+    og[:, 2] += 10.0
+    dg = (tgts - og).astype(np.float32)
+    dg /= np.linalg.norm(dg, axis=1, keepdims=True)
+    o = V3(*(jnp.asarray(og[:, k]) for k in range(3)))
+    d = V3(*(jnp.asarray(dg[:, k]) for k in range(3)))
+    time = jnp.zeros((n,), jnp.float32)
+
+    # exact first-hit distances from the XLA path, restricted to mesh hits
+    sc_xla = dataclasses.replace(scene, traversal="xla")
+    h = scene_intersect(sc_xla, o, d, time, 1e-4, jnp.full((n,), 1e30))
+    hit = np.asarray(h.valid) & (np.asarray(h.shape_id) >= scene.mesh_id0)
+    assert hit.sum() > n // 8
+    t_exact = np.asarray(h.t)
+
+    sc_pl = dataclasses.replace(scene, traversal="pallas")
+    # tmax exactly AT the hit: strictly-less test -> unoccluded
+    tmax_at = jnp.asarray(np.where(hit, t_exact, 1e-3).astype(np.float32))
+    occ_at, _ = scene_occluded(sc_pl, o, d, time, 1e-4, tmax_at)
+    assert not np.asarray(occ_at)[hit].any()
+
+    # tmax comfortably past the hit -> occluded (the shrink is <=2^-16
+    # relative, far below the 1% margin)
+    tmax_past = jnp.asarray(
+        np.where(hit, t_exact * 1.01, 1e-3).astype(np.float32)
+    )
+    occ_past, _ = scene_occluded(sc_pl, o, d, time, 1e-4, tmax_past)
+    assert np.asarray(occ_past)[hit].all()
