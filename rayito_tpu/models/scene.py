@@ -558,17 +558,19 @@ class Scene:
         if static_segs:
             domain_specs.insert(0, (static_segs, 0))
         # which per-cluster triangle test the kernel runs: 'vpu' = classic
-        # Möller-Trumbore on the vector unit; 'mxu' = the Plücker/plane
-        # formulation as ONE [B,16]x[16,512] matmul per cluster against
-        # precomputed weight blocks (4.4x faster per block on v5e, measured
-        # tools/mxu_mt_bench.py). Resolved ONCE here (env override, else
-        # MXU on TPU).
+        # Möller-Trumbore on the vector unit (the measured end-to-end
+        # winner: 8.8 vs 6.4 Mrays/s on the stage-6 bench); 'mxu' = the
+        # Plücker/plane formulation as ONE [B,16]x[16,512] matmul per
+        # cluster against precomputed weight blocks — 4.4x faster per MT
+        # block on dense synthetic work (tools/mxu_mt_bench.py) but its 4x
+        # weight footprint exceeds the 16 MB VMEM scope on reference-scale
+        # scenes, forcing per-step HBM re-streaming that costs more than
+        # the matmuls save (full measurement in BENCH_NOTES.md round 3).
+        # Resolved ONCE here (env override, else vpu).
         if traverse_mt is None:
             traverse_mt = os.environ.get("RAYITO_TRAVERSE_MT", "").lower()
             if traverse_mt not in ("vpu", "mxu"):
-                import jax as _jax
-
-                traverse_mt = "mxu" if _jax.default_backend() == "tpu" else "vpu"
+                traverse_mt = "vpu"
         if traverse_mt not in ("vpu", "mxu"):
             raise ValueError(f"traverse_mt must be 'vpu'|'mxu', got {traverse_mt!r}")
 

@@ -33,7 +33,7 @@ from rayito_tpu.accel.kernel_tables import (
 from rayito_tpu.render.pallas_traverse import RB, SB, _traverse_blocks
 
 
-def synth(c_clusters: int, n_steps: int, seed=0):
+def synth(c_clusters: int, n_steps: int, seed=0, density=None):
     rs = np.random.default_rng(seed)
     t = c_clusters * KTRI
     # triangles: random small triangles centered in the unit box
@@ -61,13 +61,22 @@ def synth(c_clusters: int, n_steps: int, seed=0):
 
     n_words = -(-c_clusters // 32)
     masks = np.zeros((n_steps * RB, n_words), np.uint32)
-    for c in range(c_clusters):
-        masks[:, c // 32] |= np.uint32(1) << np.uint32(c % 32)
+    if density is None or density >= c_clusters:
+        for c in range(c_clusters):
+            masks[:, c // 32] |= np.uint32(1) << np.uint32(c % 32)
+        per_block = c_clusters
+    else:
+        # production-like sparse masks: `density` random clusters per block
+        for b in range(masks.shape[0]):
+            for c in rs.choice(c_clusters, density, replace=False):
+                masks[b, c // 32] |= np.uint32(1) << np.uint32(c % 32)
+        per_block = density
     return (
         jnp.asarray(tri),
         jnp.asarray(build_mxu_weights(tri)),
         jnp.asarray(soat),
         jnp.asarray(masks.view(np.int32)),
+        per_block,
     )
 
 
@@ -88,11 +97,15 @@ def main():
     ap.add_argument("--clusters", type=int, default=32)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--density", type=int, default=None,
+                    help="random clusters per ray-block (default: all)")
     args = ap.parse_args()
 
-    tri, wts, soat, masks = synth(args.clusters, args.steps)
+    tri, wts, soat, masks, per_block = synth(
+        args.clusters, args.steps, density=args.density
+    )
     n_blocks = args.steps * RB
-    mt_blocks = n_blocks * args.clusters
+    mt_blocks = n_blocks * per_block
 
     dt_v, (tv, pv) = run("vpu", masks, soat, tri, args.iters)
     dt_m, (tm, pm) = run("mxu", masks, soat, wts, args.iters)
