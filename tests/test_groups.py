@@ -252,6 +252,39 @@ def test_mesh_in_moving_group_traversal_parity():
                                rtol=1e-5)
 
 
+def test_rect_light_in_rotated_group_bit_exact():
+    """A RectangleLight inside a rotated+translated group renders bitwise
+    identically to the same light carrying the group transform directly
+    (slot sharing) — pins the chain-aware rect sampling/pdf/analytic-hit
+    paths in lights.py."""
+    def build(grouped):
+        tr = rt.Transform()
+        tr.set_translation(0.0, (1.0, 4.0, 0.5))
+        tr.set_rotation(0.0, _rot_y(25.0))
+        b = rt.Scene()
+        b.add(rt.Plane((0, -1, 0), (0, 1, 0), rt.DiffuseMaterial((0.7, 0.7, 0.7))))
+        b.add(rt.Sphere((0.0, 0.3, 0.0), 0.8,
+                        rt.GlossyMaterial((0.8, 0.6, 0.2), 0.3)))
+        lamp = rt.RectangleLight((-1.0, 0.0, -1.0), (2.0, 0, 0), (0, 0, 2.0),
+                                 (1.0, 0.95, 0.9), 5.0)
+        if grouped:
+            g = rt.Group(transform=tr)
+            g.add(lamp)
+            b.add(g)
+        else:
+            lamp.transform = tr
+            b.add(lamp)
+        return b.compile(traversal="xla")
+
+    cam = PerspectiveCamera.make(40.0, (0, 2, 8), (0, 0, 0), (0, 1, 0))
+    cfg = RenderConfig(width=18, height=12, pixel_samples=1, light_samples=1,
+                       max_depth=2)
+    img_g, _, _ = render_path_with_stats(build(True), cfg, cam)
+    img_d, _, _ = render_path_with_stats(build(False), cfg, cam)
+    np.testing.assert_array_equal(np.asarray(img_g), np.asarray(img_d))
+    assert float(np.asarray(img_g).max()) > 0.01
+
+
 def test_light_in_translated_group_illuminates_from_new_position():
     """A sphere ShapeLight inside a translated group must light the scene
     from its group-transformed position: renders equal (bitwise) to the
