@@ -13,8 +13,10 @@ resident in VMEM and wants everything lane-aligned:
     9-15 pad to the f32 sublane multiple so a dynamic cluster index lands on
     an aligned block;
   * cluster AABBs are a [8, C_pad] table (rows 0-5 = min.xyz / max.xyz,
-    lanes padded to 128 with never-hit boxes); superclusters group
-    KSC = 8 consecutive clusters with the same [8, S_pad] layout.
+    lanes padded to 128 with never-hit boxes). The table is padded to whole
+    KSC=8-cluster groups for dynamic-index alignment only — no
+    supercluster-level boxes exist: a supercluster pre-mask provably
+    cannot tighten the cluster masks (nested boxes; tools/sc_mask_check.py).
 
 Padding triangles are all-zero (degenerate: e1 = e2 = 0 → det 0 → miss) and
 excluded from every box.
@@ -33,7 +35,10 @@ import dataclasses
 import numpy as np
 
 KTRI = 128  # triangles per kernel cluster (one [B, 128] MT block)
-KSC = 8  # clusters per supercluster (guard granularity: 1024 tris)
+KSC = 8  # tri-table alignment group (the kernel's dynamic cluster index
+# lands on whole-KSC-padded tables; no supercluster BOXES are built — a
+# supercluster pre-mask provably cannot tighten the cluster masks, see
+# tools/sc_mask_check.py and BENCH_NOTES.md round 3)
 KCOMP = 16  # sublane-aligned rows per cluster block (9 used)
 
 INF = np.float32(np.inf)
@@ -49,7 +54,6 @@ class KernelTables:
 
     tri: np.ndarray  # [C, KCOMP, 128] f32: v0/e1/e2 component rows
     cl_box: np.ndarray  # [8, C_pad] f32
-    sc_box: np.ndarray  # [8, S_pad] f32
     root_min: np.ndarray  # [3] f32 whole-domain AABB (wavefront pre-cull)
     root_max: np.ndarray  # [3] f32
     tri_base: np.ndarray  # [C_full] i32 global id of each cluster's lane 0
@@ -58,7 +62,9 @@ class KernelTables:
     # instead of a [N]-indexed gather
     seg: tuple
     n_clusters: int
-    n_supers: int
+    n_supers: int  # KSC-group count (tri-table alignment; no sc boxes —
+    # a supercluster pre-mask provably cannot tighten the cluster masks,
+    # see tools/sc_mask_check.py)
 
     @property
     def tri0(self) -> int:
@@ -159,12 +165,6 @@ def build_kernel_tables_multi(segments) -> KernelTables:
 
     cl_min_p = np.concatenate([cl_min, np.full((cpad, 3), INF, f32)], 0)
     cl_max_p = np.concatenate([cl_max, np.full((cpad, 3), -INF, f32)], 0)
-    # supercluster box over real children only (inf rows are stripped by
-    # _box_table per-cluster; strip here with nan-safe reductions)
-    grp_min = cl_min_p.reshape(s, KSC, 3)
-    grp_max = cl_max_p.reshape(s, KSC, 3)
-    sc_min = np.where(np.isfinite(grp_min), grp_min, INF).min(1)
-    sc_max = np.where(np.isfinite(grp_max), grp_max, -INF).max(1)
 
     any_valid = np.isfinite(cl_min).all(1).any()
     root_min = (
@@ -181,7 +181,6 @@ def build_kernel_tables_multi(segments) -> KernelTables:
     return KernelTables(
         tri=tri,
         cl_box=_box_table(cl_min_p, cl_max_p),
-        sc_box=_box_table(sc_min, sc_max),
         root_min=root_min.astype(f32),
         root_max=root_max.astype(f32),
         tri_base=tri_base,

@@ -314,3 +314,46 @@ def test_light_in_translated_group_illuminates_from_new_position():
     img_d, _, _ = render_path_with_stats(build(False), cfg, cam)
     np.testing.assert_array_equal(np.asarray(img_g), np.asarray(img_d))
     assert float(np.asarray(img_g).max()) > 0.01  # scene is actually lit
+
+
+def test_group_scene_sharded_bit_identical():
+    """Transform chains under shard_map: an 8-device render of a group
+    scene (depth-2 chain + group light) is bit-identical to 1-device —
+    the determinism claim of parallel/sharding.py extends to the new
+    chain-walk code paths."""
+    import jax
+
+    from rayito_tpu.parallel.sharding import make_mesh, render_path_sharded
+
+    if len(jax.devices("cpu")) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual CPU devices (conftest provides them)")
+
+    g = rt.Group()
+    g.transform.set_translation(0.0, (0.3, 0.0, 0.0))
+    g.transform.set_rotation(1.0, _rot_y(35.0))
+    sph = rt.Sphere((0.0, 0.4, 0.0), 0.8, rt.DiffuseMaterial((0.8, 0.2, 0.2)))
+    sph.transform = rt.Transform()
+    sph.transform.set_translation(0.0, (0.8, 0.0, 0.0))
+    g.add(sph)
+    g.add(rt.ShapeLight(rt.Sphere((2.0, 3.0, 0.0), 0.4, None),
+                        (1.0, 1.0, 0.9), 5.0))
+    b = rt.Scene()
+    b.add(rt.Plane((0, -1.5, 0), (0, 1, 0), rt.DiffuseMaterial((0.7, 0.7, 0.7))))
+    b.add(g)
+    scene = b.compile(traversal="xla")
+    assert scene.xf_depth == 2
+
+    cam = PerspectiveCamera.make(
+        40.0, (0, 2, 8), (0, 0, 0), (0, 1, 0),
+        shutter_open=0.0, shutter_close=1.0,
+    )
+    cfg = RenderConfig(width=24, height=16, pixel_samples=2, light_samples=1,
+                       max_depth=2)
+    img1 = render_path_sharded(scene, cfg, cam,
+                               make_mesh(jax.devices("cpu")[:1]))
+    img8 = render_path_sharded(scene, cfg, cam,
+                               make_mesh(jax.devices("cpu")[:8]))
+    assert np.isfinite(img8).all()
+    np.testing.assert_array_equal(img1, img8)

@@ -66,14 +66,26 @@ def main():
     img, _, _ = _render_path_pass(scene, cfg, cam, si, 0, band)
     _ = float(img.sum())
     frames = 3
+    prof_dir = "/tmp/rayito_big_prof" if "--profile" in sys.argv else None
+    import contextlib
+
+    import jax
+
+    prof = jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
     t0 = time.perf_counter()
     outs = []
-    for _f in range(frames):
-        for r0 in range(0, cfg.height, band):
-            outs.append(_render_path_pass(
-                scene, cfg, cam, si, min(r0, cfg.height - band), band))
-    _ = float(outs[-1][0].sum() + outs[0][0].sum())
+    with prof:
+        for _f in range(frames):
+            for r0 in range(0, cfg.height, band):
+                outs.append(_render_path_pass(
+                    scene, cfg, cam, si, min(r0, cfg.height - band), band))
+        _ = float(outs[-1][0].sum() + outs[0][0].sum())
     dt = (time.perf_counter() - t0) / frames
+    if prof_dir:
+        from rayito_tpu.utils.profiling import phase_table
+
+        for label, ms, cnt in phase_table(prof_dir, divisor=frames):
+            print(f"  {label:<45} {ms:8.2f} ms  ({cnt} ops)", file=sys.stderr)
     q = sum(int(x[2]) for x in outs)
     print(f"big-scene ({scene.n_tris} tris, streamed kernel): "
           f"{q / frames / dt / 1e6:.2f} Mrays/s  frame {dt*1e3:.1f} ms")
