@@ -32,9 +32,16 @@ extern "C" {
 // Builds the DFS primitive order of a midpoint-split BVH.
 //   v0,v1,v2: [n*3] float32 triangle vertices
 //   out_order: [n] int32 (preallocated)
+//   cut_cap / out_cuts / out_ncuts (optional): when cut_cap > 0, also emits
+//     SUBTREE-ALIGNED cluster cut starts — the lo of every maximal subtree
+//     with <= cut_cap primitives, in DFS (= increasing lo) order. Clusters
+//     cut at these boundaries never straddle a BVH subtree, so their
+//     bounding boxes are as tight as the tree itself provides (the device
+//     traversal prices a cluster by its slab-hit rate, not its occupancy).
 // Returns the tree depth, or -1 on error.
-int rayito_bvh_order(const float* v0, const float* v1, const float* v2,
-                     int32_t n, int32_t* out_order) {
+static int bvh_order_impl(const float* v0, const float* v1, const float* v2,
+                          int32_t n, int32_t* out_order, int32_t cut_cap,
+                          int32_t* out_cuts, int32_t* out_ncuts) {
   if (n <= 0) return -1;
   std::vector<float> bmin(3 * (size_t)n), bmax(3 * (size_t)n),
       cent(3 * (size_t)n);
@@ -54,16 +61,21 @@ int rayito_bvh_order(const float* v0, const float* v1, const float* v2,
 
   struct Range {
     int32_t lo, hi, depth;
+    bool parent_big;  // parent count > cut_cap (root counts as big-parented)
   };
   std::vector<Range> stack;
-  stack.push_back({0, n, 0});
+  stack.push_back({0, n, 0, true});
   int max_depth = 0;
+  int32_t ncuts = 0;
 
   while (!stack.empty()) {
     Range r = stack.back();
     stack.pop_back();
     if (r.depth > max_depth) max_depth = r.depth;
     int32_t count = r.hi - r.lo;
+    if (cut_cap > 0 && r.parent_big && count <= cut_cap && out_cuts) {
+      out_cuts[ncuts++] = r.lo;  // DFS pre-order pops -> increasing lo
+    }
     if (count <= 1) continue;
 
     // node bounds over member prim bounds
@@ -100,10 +112,27 @@ int rayito_bvh_order(const float* v0, const float* v1, const float* v2,
         return cent[3 * (size_t)a + axis] < cent[3 * (size_t)b + axis];
       });
     }
-    stack.push_back({r.lo + n_left, r.hi, r.depth + 1});
-    stack.push_back({r.lo, r.lo + n_left, r.depth + 1});
+    bool big = count > cut_cap;
+    stack.push_back({r.lo + n_left, r.hi, r.depth + 1, big});
+    stack.push_back({r.lo, r.lo + n_left, r.depth + 1, big});
   }
+  if (out_ncuts) *out_ncuts = ncuts;
   return max_depth;
+}
+
+int rayito_bvh_order(const float* v0, const float* v1, const float* v2,
+                     int32_t n, int32_t* out_order) {
+  return bvh_order_impl(v0, v1, v2, n, out_order, 0, nullptr, nullptr);
+}
+
+// Order + subtree-aligned cluster cut starts (see bvh_order_impl docs).
+// out_cuts must have room for n entries; the count lands in *out_ncuts.
+int rayito_bvh_order_cuts(const float* v0, const float* v1, const float* v2,
+                          int32_t n, int32_t cut_cap, int32_t* out_order,
+                          int32_t* out_cuts, int32_t* out_ncuts) {
+  if (cut_cap <= 0) return -1;
+  return bvh_order_impl(v0, v1, v2, n, out_order, cut_cap, out_cuts,
+                        out_ncuts);
 }
 
 // ---------------------------------------------------------------------------

@@ -32,6 +32,9 @@ class BuiltBvh:
     prim: np.ndarray  # [M] int32 (leaf primitive in *reordered* space, -1 internal)
     prim_order: np.ndarray  # [N] int32: reordered[i] = original[prim_order[i]]
     depth: int
+    # lo of every maximal subtree with <= cut_cap prims (when built with
+    # cut_cap > 0) — the subtree-aligned cluster cut boundaries
+    cut_starts: np.ndarray = None
 
 
 def _prim_bounds(v0, v1, v2):
@@ -57,9 +60,36 @@ def bvh_prim_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray
     return build_bvh(v0, v1, v2).prim_order
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BuiltBvh:
+def bvh_prim_order_cuts(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                        cap: int):
+    """DFS primitive order plus SUBTREE-ALIGNED cluster cut starts: the lo
+    of every maximal subtree holding <= cap primitives, in increasing order
+    (they partition [0, n)). Clusters cut at these boundaries never straddle
+    a subtree, so each cluster's AABB is as tight as the tree provides —
+    measured 10-21% fewer slab-hit MT blocks than fixed-``cap`` chunks of
+    the same order (tools/cluster_quality_check.py). Native builder when
+    available, else the Python builder; the ORDER is identical to
+    ``bvh_prim_order`` from the same builder."""
+    from ..utils.native import bvh_order_cuts as native_cuts
+
+    if v0.shape[0] == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    res = native_cuts(
+        np.asarray(v0, np.float32), np.asarray(v1, np.float32),
+        np.asarray(v2, np.float32), cap,
+    )
+    if res is not None:
+        return res
+    built = build_bvh(v0, v1, v2, cut_cap=cap)
+    return built.prim_order, built.cut_starts
+
+
+def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              cut_cap: int = 0) -> BuiltBvh:
     """Build over triangle soup. Returns threaded arrays; triangle data must be
-    reordered by ``prim_order`` so leaves index contiguously."""
+    reordered by ``prim_order`` so leaves index contiguously. With
+    ``cut_cap`` > 0, ``cut_starts`` records the lo of every maximal subtree
+    with <= cut_cap primitives (DFS pre-order = increasing)."""
     n = v0.shape[0]
     f32, i32 = np.float32, np.int32
     if n == 0:
@@ -88,9 +118,12 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BuiltBvh:
     stack = [(0, 0, n)]
     max_depth = 0
     depth_stack = [0]
+    pbig_stack = [True]  # parent count > cut_cap (root counts as such)
+    cut_starts = []
     while stack:
         node, lo, hi = stack.pop()
         depth = depth_stack.pop()
+        parent_big = pbig_stack.pop()
         max_depth = max(max_depth, depth)
         idxs = order[lo:hi]
         nb_min = bb_min[idxs].min(axis=0)
@@ -98,6 +131,8 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BuiltBvh:
         nodes_min[node] = nb_min
         nodes_max[node] = nb_max
         count = hi - lo
+        if cut_cap > 0 and parent_big and count <= cut_cap:
+            cut_starts.append(lo)  # DFS pre-order pops -> increasing lo
         if count == 1:
             prim[node] = lo  # reordered position
             continue
@@ -120,11 +155,17 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BuiltBvh:
         next_free += 2
         left_child[node] = lchild
         # push right first so left is processed next (DFS order = left first)
+        big = count > cut_cap
         stack.append((lchild + 1, lo + n_left, hi))
         depth_stack.append(depth + 1)
+        pbig_stack.append(big)
         stack.append((lchild, lo, lo + n_left))
         depth_stack.append(depth + 1)
+        pbig_stack.append(big)
 
     assert next_free == m, (next_free, m)
 
-    return BuiltBvh(nodes_min, nodes_max, prim, order.astype(i32), max_depth)
+    return BuiltBvh(
+        nodes_min, nodes_max, prim, order.astype(i32), max_depth,
+        np.asarray(cut_starts, i32) if cut_cap > 0 else None,
+    )

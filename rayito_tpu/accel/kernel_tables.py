@@ -94,58 +94,90 @@ def _box_table(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return out
 
 
-def _segment_clusters(v0, v1, v2, valid, tri0):
+def _segment_clusters(v0, v1, v2, valid, tri0, cuts=None):
     """One segment (a contiguous run of global triangle ids) -> per-cluster
-    (tri blocks [c, KCOMP, KTRI], cl_min [c, 3], cl_max [c, 3], base [c])."""
+    (tri blocks [c, KCOMP, KTRI], cl_min [c, 3], cl_max [c, 3], base [c]).
+
+    ``cuts`` (optional [n_cuts] i32, increasing, cuts[0] == 0): cluster cut
+    STARTS within the segment — each cluster holds rows cuts[k]..cuts[k+1]
+    padded to KTRI lanes (every span must be <= KTRI). Without cuts,
+    clusters are fixed KTRI-row chunks. Subtree-aligned cuts
+    (accel/bvh.py bvh_prim_order_cuts) give tighter per-cluster AABBs at
+    the cost of partially-filled lanes; the kernel prices a cluster by its
+    slab-hit rate, not its occupancy, so tighter boxes win when they cut
+    the hit rate by more than the cluster count grows (measured 10-21%
+    fewer MT blocks, tools/cluster_quality_check.py)."""
     f32 = np.float32
     t = v0.shape[0]
-    c = max(1, -(-t // KTRI))
-    tp = c * KTRI
-    pad = tp - t
+    v0 = np.asarray(v0, f32)
+    v1 = np.asarray(v1, f32)
+    v2 = np.asarray(v2, f32)
+    valid = np.asarray(valid, bool)
+    if cuts is None:
+        c = max(1, -(-t // KTRI))
+        starts = np.arange(c, dtype=np.int64) * KTRI
+        ends = np.minimum(starts + KTRI, t)
+    else:
+        cuts = np.asarray(cuts, np.int64)
+        # drop cuts that land in the segment's invalid pad tail
+        t_real = int(valid.sum()) if valid.size else 0
+        # valid rows are a prefix (segment pads are appended); cuts index
+        # REAL rows [0, t_real)
+        cuts = cuts[cuts < max(t_real, 1)]
+        c = max(1, len(cuts))
+        starts = cuts if len(cuts) else np.zeros(1, np.int64)
+        ends = np.append(starts[1:], t_real)
+        if (ends - starts > KTRI).any():
+            raise ValueError("cluster cut span exceeds KTRI")
 
-    def padded(a):
-        a = np.asarray(a, f32)
-        if pad:
-            return np.concatenate([a, np.zeros((pad, 3), f32)], 0)
-        return a
-
-    v0p, v1p, v2p = padded(v0), padded(v1), padded(v2)
-    validp = np.concatenate([np.asarray(valid, bool), np.zeros(pad, bool)])
-    # degenerate-out invalid rows so they can never produce a hit
-    v0p[~validp] = 0.0
-    v1p[~validp] = 0.0
-    v2p[~validp] = 0.0
+    # gather rows per cluster lane: idx[c, KTRI] with an in-range clamp and
+    # an explicit lane-validity mask
+    lane = np.arange(KTRI, dtype=np.int64)
+    idx = starts[:, None] + lane[None, :]
+    lane_ok = idx < ends[:, None]
+    idx = np.minimum(idx, max(t - 1, 0))
+    validp = valid[idx] & lane_ok if t else np.zeros((c, KTRI), bool)
+    v0p = np.where(validp[..., None], v0[idx], 0.0)
+    v1p = np.where(validp[..., None], v1[idx], 0.0)
+    v2p = np.where(validp[..., None], v2[idx], 0.0)
     e1 = v1p - v0p
     e2 = v2p - v0p
 
     tri = np.zeros((c, KCOMP, KTRI), f32)
     for comp in range(3):
-        tri[:, comp + 0, :] = v0p[:, comp].reshape(c, KTRI)
-        tri[:, comp + 3, :] = e1[:, comp].reshape(c, KTRI)
-        tri[:, comp + 6, :] = e2[:, comp].reshape(c, KTRI)
+        tri[:, comp + 0, :] = v0p[:, :, comp]
+        tri[:, comp + 3, :] = e1[:, :, comp]
+        tri[:, comp + 6, :] = e2[:, :, comp]
 
-    lo = np.minimum(np.minimum(v0p, v1p), v2p).reshape(c, KTRI, 3)
-    hi = np.maximum(np.maximum(v0p, v1p), v2p).reshape(c, KTRI, 3)
-    vmask = validp.reshape(c, KTRI, 1)
+    lo = np.minimum(np.minimum(v0p, v1p), v2p)
+    hi = np.maximum(np.maximum(v0p, v1p), v2p)
+    vmask = validp[..., None]
     cl_min = np.where(vmask, lo, INF).min(1).astype(f32)
     cl_max = np.where(vmask, hi, -INF).max(1).astype(f32)
-    base = tri0 + np.arange(c, dtype=np.int64) * KTRI
+    base = tri0 + starts
     return tri, cl_min, cl_max, base
 
 
 def build_kernel_tables_multi(segments) -> KernelTables:
     """Build one launch domain from MANY segments. Each segment is
-    (v0 [T,3], v1, v2, valid [T] bool, tri0) — triangles already in global
-    order within the segment, padding rows included and marked invalid.
-    Segments need not be contiguous with each other: tri_base records every
-    cluster's global lane-0 id."""
+    (v0 [T,3], v1, v2, valid [T] bool, tri0) with an optional 6th element
+    ``cuts`` (subtree-aligned cluster cut starts, see _segment_clusters) —
+    triangles already in global order within the segment, padding rows
+    included and marked invalid. Segments need not be contiguous with each
+    other: tri_base records every cluster's global lane-0 id. Segments with
+    cuts disable the piecewise-affine ``seg`` fast path (cluster bases are
+    no longer KTRI-strided); winner-id recovery falls back to the tri_base
+    gather."""
     f32 = np.float32
     parts = [_segment_clusters(*seg) for seg in segments]
+    any_cuts = any(len(seg) > 5 and seg[5] is not None for seg in segments)
     seg_table = []
     off = 0
     for p, s in zip(parts, segments):
         seg_table.append((off, int(s[4])))
         off += p[0].shape[0]
+    if any_cuts:
+        seg_table = []
     tri_c = np.concatenate([p[0] for p in parts], 0)
     cl_min = np.concatenate([p[1] for p in parts], 0)
     cl_max = np.concatenate([p[2] for p in parts], 0)

@@ -335,6 +335,7 @@ class Scene:
         traversal: Optional[str] = None,
         tiny_fold: Optional[bool] = None,
         traverse_mt: Optional[str] = None,
+        cluster_cuts: Optional[str] = None,
     ) -> "SceneData":
         """Lower to a SceneData pytree.
 
@@ -346,8 +347,27 @@ class Scene:
         inconsistent intersect/occlusion impls across already-cached jits
         (tests switch impls via ``dataclasses.replace(scene,
         traversal=...)``, which re-keys every jit cache)."""
-        from ..accel.bvh import bvh_prim_order
+        from ..accel.bvh import bvh_prim_order, bvh_prim_order_cuts
         from ..accel.clusters import build_clusters
+
+        # Kernel-cluster cut policy: 'subtree' aligns the 128-lane cluster
+        # cuts to maximal BVH subtrees (tighter AABBs, 10-21% fewer
+        # slab-hit MT blocks offline — tools/cluster_quality_check.py) but
+        # MEASURED -8% end to end on the stage-6 bench (8.13 vs 8.83
+        # Mrays/s): the +44% cluster count raises the mask-kernel cost and
+        # pushes the table over the one-chunk streaming threshold, eating
+        # the union win. 'fixed' (the round-2 fixed-128-chunk layout) stays
+        # the default; 'subtree' is kept as a measured option for scenes
+        # whose union density, not mask cost, dominates. Resolved ONCE here
+        # (arg, else env) and baked into the tables.
+        if cluster_cuts is None:
+            cluster_cuts = os.environ.get(
+                "RAYITO_CLUSTER_CUTS", "fixed"
+            ).lower()
+        if cluster_cuts not in ("subtree", "fixed"):
+            raise ValueError(
+                f"cluster_cuts must be 'subtree'|'fixed', got {cluster_cuts!r}"
+            )
 
         # --- material table (dedup by object identity) ---
         materials: List[Material] = []
@@ -448,6 +468,7 @@ class Scene:
         mesh_tri_start = []
         mesh_tri_count = []
         cluster_list = []
+        mesh_kcuts = []  # per-mesh subtree cluster-cut starts (or None)
         t_off = 0
         for mi, m in enumerate(self.meshes):
             verts = np.asarray(m.vertices, f32)
@@ -470,7 +491,14 @@ class Scene:
             # BVH DFS order feeds the cluster cut (spatially coherent
             # runs); built by the native C++ builder when present
             # (utils/native.py), else the Python builder.
-            order = bvh_prim_order(v0, v1, v2)
+            if cluster_cuts == "subtree":
+                from ..accel.kernel_tables import KTRI
+
+                order, kcuts = bvh_prim_order_cuts(v0, v1, v2, KTRI)
+            else:
+                order = bvh_prim_order(v0, v1, v2)
+                kcuts = None
+            mesh_kcuts.append(kcuts)
             clusters = build_clusters(v0[order], v1[order], v2[order])
             cluster_list.append(clusters)
             tp = clusters.v0.shape[0]  # padded triangle count
@@ -543,6 +571,7 @@ class Scene:
                 cl.v2,
                 np.arange(tp) < mesh_tri_count[mi],
                 mesh_tri_start[mi],
+                mesh_kcuts[mi],
             )
             if mesh_xf[mi] == 0:
                 # static meshes merge into ONE domain regardless of size:

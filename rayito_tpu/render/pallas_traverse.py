@@ -70,6 +70,9 @@ if B <= 0 or SB % B or (B & (B - 1)):
 RB = SB // B  # ray-blocks per grid step
 _INF = float("inf")  # python scalar: folds into kernel constants
 _IMAX = jnp.iinfo(jnp.int32).max
+# best-t cluster prune (exact, bit-identical; see _traverse_kernel docs) —
+# env escape hatch for hardware A/B sweeps only
+_PRUNE = os.environ.get("RAYITO_TRAVERSE_PRUNE", "1") != "0"
 
 
 def traversal_impl() -> str:
@@ -104,6 +107,7 @@ def _pack_key(t_f32, lane):
 def _traverse_kernel(
     ctz_ref,  # scalar-prefetch [32] i32 de Bruijn ctz table
     mask_ref,  # [1, 1, RB, nw] i32 cluster bit-masks for THIS chunk, SMEM
+    box_ref,  # [1, chunk, 8] f32 cluster AABBs (min.xyz/max.xyz/pad), SMEM
     soat_ref,  # [1, SB, 8] f32: ox oy oz dx dy dz tmax pad, rays on sublanes
     tri_ref,  # [1, chunk, 16, KTRI] f32 triangles ('vpu') |
     #           [1, chunk, 16, 4*KTRI] Plücker/plane weight blocks ('mxu',
@@ -113,7 +117,7 @@ def _traverse_kernel(
     kbest_ref, cbest_ref,  # [SB, 1] i32 scratch (persist across chunks)
     p_ref=None,  # [SB, 16] f32 ray-feature scratch ('mxu' only)
     *, n_words: int, tmin: float, mt_mode: str = "vpu", n_chunks: int = 1,
-    chunk: int = 0,
+    chunk: int = 0, prune: bool = True, any_hit: bool = False,
 ):
     """Grid = (ray step, cluster chunk), chunk minor. The per-ray running
     best (packed key + global cluster id) lives in [SB] scratch that
@@ -122,7 +126,25 @@ def _traverse_kernel(
     one chunk this degenerates to the round-2 resident-table kernel; with
     many, the tri operand is a pipelined VMEM block and the table size is
     unbounded (VERDICT r2 item 4 — the reference's heap-allocated BVH has
-    no size limit either, RAccel.h:262-290)."""
+    no size limit either, RAccel.h:262-290).
+
+    ``prune``: before each MT block, a scalar-loaded per-cluster slab test
+    against the CARRIED best key skips clusters no ray in the block can
+    still improve on — the in-kernel analogue of a BVH walk's
+    distance-ordered early-out (RAccel.h:471-560 prunes nodes by the
+    running best t the same way). Exact (bit-identical output): a cluster
+    is skipped only when every ray's slab entry t (with 1e-5 conservative
+    slack for f32 slab rounding) exceeds its current best bound, so any
+    contained hit would fail the MT t <= tb test anyway.
+
+    ``any_hit``: occlusion semantics — once a lane records ANY accepted
+    hit its best key is frozen NEGATIVE (sign bit set, t/lane bits kept),
+    so it stops voting in the prune test and rejects all further
+    triangles; a candidate cluster is then skipped unless some still-
+    unoccluded ray's segment reaches it. Output contract shrinks to
+    (prim >= 0) == occluded; t is garbage (callers pass want_t=False).
+    vpu mode only: every frozen hit passed the exact in-kernel MT with
+    tmax pre-rounded DOWN, so a frozen lane is truly occluded."""
     k_id = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, KTRI), 1)
 
@@ -161,6 +183,8 @@ def _traverse_kernel(
         rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
         ox, oy, oz = rd(0), rd(1), rd(2)
         dx, dy, dz = rd(3), rd(4), rd(5)
+        if prune:  # hoisted out of the bit-scan: one set per ray-block
+            ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
         # The running best rides the LOOP CARRY as [B, 1] values (vregs),
         # not per-MT scratch slices: a dynamic-slice read/modify/write of
@@ -237,10 +261,11 @@ def _traverse_kernel(
             key = jnp.where(ok, _pack_key(t, lane), _IMAX)
             kmin = jnp.min(key, axis=1, keepdims=True)
             better = kmin < kb
-            return (
-                jnp.where(better, kmin, kb),
-                jnp.where(better, c_base + c, cb),
-            )
+            kbn = jnp.where(better, kmin, kb)
+            cbn = jnp.where(better, c_base + c, cb)
+            if any_hit:  # freeze hit lanes: sign bit set, t/lane bits kept
+                kbn = jnp.where(cbn >= 0, kbn | jnp.int32(-(2**31)), kbn)
+            return kbn, cbn
 
         mt = mt_mxu if mt_mode == "mxu" else mt_vpu
 
@@ -262,7 +287,44 @@ def _traverse_kernel(
                     low * jnp.int32(_DEBRUIJN_MUL), 27
                 )
                 c = w * 32 + ctz_ref[idx]
-                kb, cb = mt(c, kb, cb)
+                if prune:
+                    # per-cluster slab vs the CARRIED best: 6 scalar box
+                    # loads + ~20 [B,1] vector ops + one any() — skips the
+                    # ~720-vreg-op MT block when no ray can improve.
+                    bx0 = box_ref[0, c, 0]
+                    by0 = box_ref[0, c, 1]
+                    bz0 = box_ref[0, c, 2]
+                    bx1 = box_ref[0, c, 3]
+                    by1 = box_ref[0, c, 4]
+                    bz1 = box_ref[0, c, 5]
+                    tx0 = (bx0 - ox) * ivx
+                    tx1 = (bx1 - ox) * ivx
+                    ty0 = (by0 - oy) * ivy
+                    ty1 = (by1 - oy) * ivy
+                    tz0 = (bz0 - oz) * ivz
+                    tz1 = (bz1 - oz) * ivz
+                    near = jnp.maximum(
+                        jnp.maximum(
+                            jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)
+                        ),
+                        jnp.maximum(jnp.minimum(tz0, tz1), tmin),
+                    )
+                    far = jnp.minimum(
+                        jnp.minimum(
+                            jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)
+                        ),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    tb = pltpu.bitcast(kb | jnp.int32(KTRI - 1), jnp.float32)
+                    # 1e-5 relative slack >> the ~4-ulp slab rounding, so a
+                    # skip can never drop a t <= tb hit (see docstring);
+                    # frozen/dead lanes have tb <= ~0 < tmin and never vote
+                    go = jnp.any((near <= far) & (near * (1.0 - 1e-5) <= tb))
+                    kb, cb = jax.lax.cond(
+                        go, mt, lambda _, kb, cb: (kb, cb), c, kb, cb
+                    )
+                else:
+                    kb, cb = mt(c, kb, cb)
                 return w, bits & (bits - 1), kb, cb
 
             _, _, kb, cb = jax.lax.while_loop(
@@ -303,12 +365,17 @@ if TRI_CHUNK <= 0 or TRI_CHUNK % 32:
                      "multiple of 32 (mask words are 32 clusters each)")
 
 
-@functools.partial(jax.jit, static_argnames=("tmin", "interpret", "mt_mode"))
-def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool,
-                     mt_mode: str = "vpu"):
+@functools.partial(
+    jax.jit,
+    static_argnames=("tmin", "interpret", "mt_mode", "prune", "any_hit"),
+)
+def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
+                     mt_mode: str = "vpu", prune: bool = True,
+                     any_hit: bool = False):
     """masks: [n_blocks, n_words] i32; soat: [n_steps, SB, 8] f32;
     tri: [C, 16, KTRI] triangles ('vpu') or [C, 16, 4*KTRI] MXU weight
-    blocks ('mxu'). Returns (t, prim) each [n_steps, SB, 1].
+    blocks ('mxu'); box: [8, C_pad] cluster slab rows (prune operand).
+    Returns (t, prim) each [n_steps, SB, 1].
 
     Tables larger than TRI_CHUNK clusters are STREAMED: the grid gains a
     minor cluster-chunk axis and the tri operand arrives as pipelined VMEM
@@ -356,6 +423,24 @@ def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool,
             0, 2, 1, 3
         )
 
+    # prune operand: per-chunk [chunk, 8] cluster AABB rows in SMEM for
+    # the scalar-core box loads. The box table's lane padding (C_pad) and
+    # the chunk padding (n_chunks*chunk) can differ — pad with never-hit
+    # boxes (their mask bits are never set; the prune never sees them).
+    total_c = n_chunks * chunk
+    boxT = box.T[:, 0:8]  # [C_pad, 8]
+    if boxT.shape[0] < total_c:
+        boxT = jnp.concatenate(
+            [
+                boxT,
+                jnp.full(
+                    (total_c - boxT.shape[0], 8), 1e30, jnp.float32
+                ).at[:, 6:8].set(0.0),
+            ],
+            axis=0,
+        )
+    box3 = boxT[:total_c].reshape(n_chunks, chunk, 8)
+
     scratch = [
         pltpu.VMEM((SB, 1), jnp.int32),  # kbest (packed t|lane), per step
         pltpu.VMEM((SB, 1), jnp.int32),  # cbest (global cluster id)
@@ -368,6 +453,10 @@ def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool,
         in_specs=[
             pl.BlockSpec(
                 (1, 1, RB, nw), lambda i, k, z: (i, k, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, chunk, 8), lambda i, k, z: (k, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
@@ -391,7 +480,7 @@ def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool,
     return pl.pallas_call(
         functools.partial(
             _traverse_kernel, n_words=nw, tmin=tmin, mt_mode=mt_mode,
-            n_chunks=n_chunks, chunk=chunk,
+            n_chunks=n_chunks, chunk=chunk, prune=prune, any_hit=any_hit,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_steps, SB, 1), jnp.float32),
@@ -399,7 +488,7 @@ def _traverse_blocks(masks, soat, tri, tmin: float, interpret: bool,
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ctz, masks4, soat, tri4)
+    )(ctz, masks4, box3, soat, tri4)
 
 
 def _mask_kernel(
@@ -601,7 +690,8 @@ def _coherence_key(ox, oy, oz, dx, dy, dz, tmax, cl_box, tmin):
 
 def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              interpret: bool | None = None, sort_rays: bool | None = None,
-             want_t: bool = True, mt_mode: str = "vpu"):
+             want_t: bool = True, mt_mode: str = "vpu",
+             any_hit: bool = False):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -615,8 +705,16 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
 
     ``n_active`` is accepted for interface parity but unused: inactive /
     padded lanes carry tmax<=0, produce empty candidate masks, and cost
-    only the fused XLA slab."""
+    only the fused XLA slab.
+
+    ``any_hit`` switches the kernel to occlusion semantics (lanes freeze
+    on their first accepted hit and stop voting in the best-t prune);
+    only (prim >= 0) is meaningful then, and it requires exact in-kernel
+    triangle tests — callers must not combine it with mt_mode='mxu'
+    (whose approximate-t winners need an exact re-test outside)."""
     del n_active
+    if any_hit and mt_mode == "mxu":
+        raise ValueError("any_hit requires exact in-kernel tests (vpu)")
     n = o.x.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -700,8 +798,9 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         )
 
     t_bn, p_bn = _traverse_blocks(
-        masks, soat, tables.tri, tmin=float(tmin), interpret=bool(interpret),
-        mt_mode=mt_mode,
+        masks, soat, tables.tri, jnp.asarray(tables.cl_box),
+        tmin=float(tmin), interpret=bool(interpret), mt_mode=mt_mode,
+        prune=_PRUNE, any_hit=any_hit,
     )
     if mode == "off":
         t = t_bn.reshape(n_steps * SB)

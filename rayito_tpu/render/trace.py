@@ -695,6 +695,10 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 o_l, d_l, jnp.where(occluded, 0.0, tq_dn),
                 _domain_view(scene, di), tmin, want_t=False,
                 mt_mode=scene.traverse_mt,
+                # occlusion semantics: lanes freeze on first exact hit and
+                # stop voting in the kernel's best-t prune (vpu only — the
+                # mxu path's approximate winners need the re-test below)
+                any_hit=scene.traverse_mt != "mxu",
             )
             if scene.traverse_mt == "mxu":
                 # the MXU formulation's t differs from exact Möller-Trumbore

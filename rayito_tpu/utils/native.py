@@ -48,6 +48,11 @@ def _load() -> Optional[ctypes.CDLL]:
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.rayito_bvh_order.restype = ctypes.c_int
     lib.rayito_bvh_order.argtypes = [f32p, f32p, f32p, ctypes.c_int32, i32p]
+    if hasattr(lib, "rayito_bvh_order_cuts"):
+        lib.rayito_bvh_order_cuts.restype = ctypes.c_int
+        lib.rayito_bvh_order_cuts.argtypes = [
+            f32p, f32p, f32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p,
+        ]
     lib.rayito_obj_parse.restype = ctypes.c_void_p
     lib.rayito_obj_parse.argtypes = [ctypes.c_char_p]
     for name in ("rayito_obj_num_vertices", "rayito_obj_num_normals",
@@ -88,6 +93,39 @@ def bvh_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> Optional[np.nda
     if depth < 0:
         return None
     return out
+
+
+def bvh_order_cuts(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                   cap: int):
+    """Native DFS order + subtree-aligned cluster cut starts (the lo of
+    every maximal subtree with <= cap primitives). Returns (order [N] i32,
+    cut_starts [n_cuts] i32) or None when the library (or the entry point)
+    is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rayito_bvh_order_cuts"):
+        return None
+    n = v0.shape[0]
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    out = np.empty(n, np.int32)
+    cuts = np.empty(n, np.int32)
+    ncuts = np.zeros(1, np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    depth = lib.rayito_bvh_order_cuts(
+        v0.ctypes.data_as(f32p),
+        v1.ctypes.data_as(f32p),
+        v2.ctypes.data_as(f32p),
+        np.int32(n),
+        np.int32(cap),
+        out.ctypes.data_as(i32p),
+        cuts.ctypes.data_as(i32p),
+        ncuts.ctypes.data_as(i32p),
+    )
+    if depth < 0:
+        return None
+    return out, cuts[: int(ncuts[0])].copy()
 
 
 def parse_obj(path: str):
