@@ -70,9 +70,23 @@ if B <= 0 or SB % B or (B & (B - 1)):
 RB = SB // B  # ray-blocks per grid step
 _INF = float("inf")  # python scalar: folds into kernel constants
 _IMAX = jnp.iinfo(jnp.int32).max
-# best-t cluster prune (exact, bit-identical; see _traverse_kernel docs) —
-# env escape hatch for hardware A/B sweeps only
-_PRUNE = os.environ.get("RAYITO_TRAVERSE_PRUNE", "1") != "0"
+# best-t cluster prune (exact, bit-identical; see _traverse_kernel docs).
+# MEASURED DEAD END on v5e, default OFF: the per-cluster slab + any() +
+# branch costs more than the skipped MT blocks save — stage-6 bench
+# 7.39 Mrays/s with prune everywhere ('1'), 8.05 with prune on any-hit
+# occlusion queries only ('anyhit'), vs 8.80 with prune off; the stage-7b
+# motion scene moved < +-2% in every mode. The mechanism is kept (exactness
+# pinned by tests/test_pallas_traverse.py) because its value grows with
+# scene depth complexity; '1'/'anyhit' enable it for such sweeps.
+_PRUNE_MODE = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
+
+
+def _prune_for(any_hit: bool) -> bool:
+    if _PRUNE_MODE == "1":
+        return True
+    if _PRUNE_MODE == "anyhit":
+        return any_hit
+    return False
 
 
 def traversal_impl() -> str:
@@ -427,19 +441,26 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
     # the scalar-core box loads. The box table's lane padding (C_pad) and
     # the chunk padding (n_chunks*chunk) can differ — pad with never-hit
     # boxes (their mask bits are never set; the prune never sees them).
-    total_c = n_chunks * chunk
-    boxT = box.T[:, 0:8]  # [C_pad, 8]
-    if boxT.shape[0] < total_c:
-        boxT = jnp.concatenate(
-            [
-                boxT,
-                jnp.full(
-                    (total_c - boxT.shape[0], 8), 1e30, jnp.float32
-                ).at[:, 6:8].set(0.0),
-            ],
-            axis=0,
-        )
-    box3 = boxT[:total_c].reshape(n_chunks, chunk, 8)
+    # With the prune disabled the operand shrinks to a dummy [8, 8] block
+    # so no per-step SMEM DMA is paid for it.
+    if prune:
+        total_c = n_chunks * chunk
+        boxT = box.T[:, 0:8]  # [C_pad, 8]
+        if boxT.shape[0] < total_c:
+            boxT = jnp.concatenate(
+                [
+                    boxT,
+                    jnp.full(
+                        (total_c - boxT.shape[0], 8), 1e30, jnp.float32
+                    ).at[:, 6:8].set(0.0),
+                ],
+                axis=0,
+            )
+        box3 = boxT[:total_c].reshape(n_chunks, chunk, 8)
+        box_block = chunk
+    else:
+        box3 = jnp.zeros((n_chunks, 8, 8), jnp.float32)
+        box_block = 8
 
     scratch = [
         pltpu.VMEM((SB, 1), jnp.int32),  # kbest (packed t|lane), per step
@@ -456,7 +477,7 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, chunk, 8), lambda i, k, z: (k, 0, 0),
+                (1, box_block, 8), lambda i, k, z: (k, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
@@ -800,7 +821,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     t_bn, p_bn = _traverse_blocks(
         masks, soat, tables.tri, jnp.asarray(tables.cl_box),
         tmin=float(tmin), interpret=bool(interpret), mt_mode=mt_mode,
-        prune=_PRUNE, any_hit=any_hit,
+        prune=_prune_for(any_hit), any_hit=any_hit,
     )
     if mode == "off":
         t = t_bn.reshape(n_steps * SB)

@@ -122,3 +122,85 @@ def test_kernel_single_triangle_and_padding():
     tmax = np.full(n, np.inf, np.float32)
     hits = _check(o, d, tmax, v0, v1, v2, np.ones(1, bool))
     assert hits > 0
+
+
+def test_kernel_any_hit_occlusion_semantics():
+    """any_hit mode: (prim >= 0) must equal brute-force occlusion for every
+    ray, under both sort modes and both prune policies. Lanes freeze on
+    their first accepted hit (sign bit set), so the reported prim may be
+    ANY occluder, not the nearest — only hit/miss is contracted."""
+    import os
+
+    from rayito_tpu.render import pallas_traverse as ptv
+
+    centers, v0, v1, v2 = _geometry(900, seed=11)
+    rs = np.random.default_rng(12)
+    n = 700
+    o = (centers.mean(0) + rs.normal(0, 20, (n, 3))).astype(np.float32)
+    tgt = centers[rs.integers(0, 900, n)]
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = d.astype(np.float32)
+    valid = np.ones(900, bool)
+    valid[rs.integers(0, 900, 60)] = False
+    tmax = rs.uniform(0.5, 60.0, n).astype(np.float32)
+    tmax[-40:] = 0.0  # dead (already-occluded) lanes: must stay miss
+
+    v0c, v1c, v2c = v0.copy(), v1.copy(), v2.copy()
+    v0c[~valid] = 0
+    v1c[~valid] = 0
+    v2c[~valid] = 0
+    tbl = _Tbl(build_kernel_tables(v0, v1, v2, valid))
+    t_b, _ = _brute(o, d, 1e-4, tmax, v0c, v1c, v2c, valid)
+    occ_b = np.isfinite(t_b)
+
+    orig = ptv._PRUNE_MODE
+    try:
+        for prune_mode in ("0", "1"):
+            ptv._PRUNE_MODE = prune_mode
+            for sort_rays in (False, True):
+                _, p_k = traverse(
+                    V3(*(jnp.asarray(o[:, k]) for k in range(3))),
+                    V3(*(jnp.asarray(d[:, k]) for k in range(3))),
+                    jnp.asarray(tmax), tbl, 1e-4, interpret=True,
+                    sort_rays=sort_rays, want_t=False, any_hit=True,
+                )
+                occ_k = np.asarray(p_k) >= 0
+                np.testing.assert_array_equal(occ_k, occ_b)
+    finally:
+        ptv._PRUNE_MODE = orig
+
+
+def test_kernel_prune_bit_identical_closest_hit():
+    """The best-t cluster prune must be EXACT: closest-hit output with
+    prune forced on is bit-identical to prune off (same t keys, same
+    winning prims)."""
+    from rayito_tpu.render import pallas_traverse as ptv
+
+    centers, v0, v1, v2 = _geometry(800, seed=21)
+    rs = np.random.default_rng(22)
+    n = 500
+    o = (centers.mean(0) + rs.normal(0, 15, (n, 3))).astype(np.float32)
+    tgt = centers[rs.integers(0, 800, n)]
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = d.astype(np.float32)
+    tmax = np.full(n, np.inf, np.float32)
+    tbl = _Tbl(build_kernel_tables(v0, v1, v2, np.ones(800, bool)))
+
+    orig = ptv._PRUNE_MODE
+    outs = {}
+    try:
+        for prune_mode in ("0", "1"):
+            ptv._PRUNE_MODE = prune_mode
+            t_k, p_k = traverse(
+                V3(*(jnp.asarray(o[:, k]) for k in range(3))),
+                V3(*(jnp.asarray(d[:, k]) for k in range(3))),
+                jnp.asarray(tmax), tbl, 1e-4, interpret=True,
+                sort_rays=True,
+            )
+            outs[prune_mode] = (np.asarray(t_k), np.asarray(p_k))
+    finally:
+        ptv._PRUNE_MODE = orig
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
