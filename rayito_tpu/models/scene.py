@@ -682,6 +682,11 @@ class Scene:
         else:
             tri_meta = np.zeros((0, 16), f32)
             tri_vert = np.zeros((0, 16), f32)
+        # fused 32-col rows: the Pallas winner path re-tests AND shades the
+        # same winning id, so ONE 128-byte row gather replaces the two
+        # 64-byte gathers (each measured ~2.2 ms/131k-ray band — the row
+        # fetch, not the bytes, is the cost)
+        tri_vm = np.concatenate([tri_vert, tri_meta], axis=1)
 
         # --- lights ---
         light_kind, light_index, light_shape_id, light_color, light_power = (
@@ -803,6 +808,7 @@ class Scene:
             tri_rows=dev(cat(tri_row_parts, (512,))),
             tri_meta_rows=dev(tri_meta),
             tri_vert_rows=dev(tri_vert),
+            tri_vm_rows=dev(tri_vm),
             mat_rows=dev(mat_rows),
             mesh_cl_ranges=tuple(mesh_cl_ranges),
             mesh_sc_ranges=tuple(mesh_sc_ranges),
@@ -892,6 +898,8 @@ class SceneData:
     tri_rows: jnp.ndarray  # [C, 512]
     tri_meta_rows: jnp.ndarray  # [T, 16]
     tri_vert_rows: jnp.ndarray  # [T, 16] v0/v1/v2 (winner re-test rows)
+    tri_vm_rows: jnp.ndarray  # [T, 32] vert|meta fused rows (one-gather
+    # winner re-test + shading, render/trace.py _winner_retest)
     mat_rows: jnp.ndarray  # [M, 8]
     # lights
     light_kind: jnp.ndarray

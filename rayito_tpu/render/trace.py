@@ -330,16 +330,20 @@ def _mesh_local_ray(scene: SceneData, mi: int, o: V3, d: V3, time):
 
 
 def _mesh_shading(scene: SceneData, t_best, prim_best, beta_best, gamma_best,
-                  rot_best, overflow):
+                  rot_best, overflow, meta=None):
     """Shared winner shading resolution: normals / material / shape id from
-    the winning global triangle id (used by both traversal implementations)."""
+    the winning global triangle id (used by both traversal implementations).
+    ``meta``: optional pre-fetched [N, 16] meta rows for the winning ids —
+    the Pallas path rides them out of the winner re-test's fused 32-col
+    gather (tri_vm_rows) so no second row gather is paid here."""
     valid = prim_best >= 0
     pr = jnp.maximum(prim_best, 0)
     alpha = 1.0 - beta_best - gamma_best
     # shading normal: barycentric-interpolated vertex normals when present,
     # else normalized geometric normal (RMesh.h:308-328). All per-triangle
     # data comes from ONE packed row gather (tri_meta_rows, see scene.py).
-    meta = scene.tri_meta_rows[pr]  # [N, 16]
+    if meta is None:
+        meta = scene.tri_meta_rows[pr]  # [N, 16]
     n0 = V3(meta[:, 0], meta[:, 1], meta[:, 2])
     n1 = V3(meta[:, 3], meta[:, 4], meta[:, 5])
     n2 = V3(meta[:, 6], meta[:, 7], meta[:, 8])
@@ -418,21 +422,35 @@ def _kernel_winner_global_id(scene: SceneData, di: int, p_d):
 
 
 def _winner_retest(scene: SceneData, di: int, o_l: V3, d_l: V3, p_d, tmin,
-                   tmax):
+                   tmax, want_meta: bool = False):
     """Exact Möller-Trumbore re-test of the kernel's winner: one packed
-    vertex-row gather. Returns (t [N] exact, ok [N], beta, gamma, g_d)."""
+    row gather. Returns (t [N] exact, ok [N], beta, gamma, g_d[, meta]).
+
+    With ``want_meta`` the gather widens to the fused 32-col rows
+    (tri_vm_rows: verts | shading meta) and the winner's meta rows ride
+    along — the row FETCH, not the bytes, dominates gather cost (each
+    separate [N, 16] gather measured ~2.2 ms per 131k-ray band), so one
+    wide gather replaces the vert + meta pair."""
     from ..ops.intersect import triangle_intersect
 
     n = p_d.shape[0]
     found = p_d >= 0
     g_d = _kernel_winner_global_id(scene, di, p_d)
-    vrow = scene.tri_vert_rows[jnp.where(found, g_d, 0)]  # [N, 16]
+    idx = jnp.where(found, g_d, 0)
+    if want_meta:
+        row = scene.tri_vm_rows[idx]  # [N, 32] verts | meta
+        vrow, meta = row[:, :16], row[:, 16:]
+    else:
+        vrow = scene.tri_vert_rows[idx]  # [N, 16]
+        meta = None
     t_fin, h_fin, beta, gamma, _ = triangle_intersect(
         o_l, d_l, tmin, jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,)),
         V3(vrow[:, 0], vrow[:, 1], vrow[:, 2]),
         V3(vrow[:, 3], vrow[:, 4], vrow[:, 5]),
         V3(vrow[:, 6], vrow[:, 7], vrow[:, 8]),
     )
+    if want_meta:
+        return t_fin, found & h_fin, beta, gamma, g_d, meta
     return t_fin, found & h_fin, beta, gamma, g_d
 
 
@@ -450,23 +468,30 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
     gamma_best = jnp.zeros((n,), jnp.float32)
     rot_best = _identity_quat(n) if scene.has_motion else None
 
+    meta_best = None
     for di in range(len(scene.ktab_xf)):
         o_l, d_l, rotation = _domain_local_ray(scene, di, o, d, time)
         _, p_d = traverse(
             o_l, d_l, jnp.minimum(t_best, tmax), _domain_view(scene, di),
             tmin, want_t=False, mt_mode=scene.traverse_mt,
         )
-        # winner re-test per domain: exact t + barycentrics from one packed
-        # vertex-row gather (the kernel's packed key carries ~2^-17 t slack
-        # and its winner id; the fold across domains compares EXACT t)
-        t_fin, ok_fin, beta, gamma, g_d = _winner_retest(
-            scene, di, o_l, d_l, p_d, tmin, jnp.full((n,), INF)
+        # winner re-test per domain: exact t + barycentrics + shading meta
+        # from ONE fused 32-col row gather (the kernel's packed key carries
+        # ~2^-17 t slack and its winner id; the fold across domains
+        # compares EXACT t)
+        t_fin, ok_fin, beta, gamma, g_d, meta = _winner_retest(
+            scene, di, o_l, d_l, p_d, tmin, jnp.full((n,), INF),
+            want_meta=True,
         )
         closer = ok_fin & (t_fin < jnp.minimum(t_best, tmax))
         t_best = jnp.where(closer, t_fin, t_best)
         prim_best = jnp.where(closer, g_d, prim_best)
         beta_best = jnp.where(closer, beta, beta_best)
         gamma_best = jnp.where(closer, gamma, gamma_best)
+        meta_best = (
+            meta if meta_best is None
+            else jnp.where(closer[:, None], meta, meta_best)
+        )
         if scene.has_motion:
             from ..ops.quaternion import Quat
 
@@ -486,8 +511,12 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
             )
 
     # tiny transformed meshes fold via the dense XLA path (a kernel launch
-    # per 1-cluster mesh would be all fixed cost — scene.ktab_small)
+    # per 1-cluster mesh would be all fixed cost — scene.ktab_small). Their
+    # winners carry no pre-fetched meta rows, so their presence falls back
+    # to the meta gather in _mesh_shading.
     overflow = jnp.int32(0)
+    if scene.ktab_small:
+        meta_best = None
     for mi in scene.ktab_small:
         from .mesh_intersect import mesh_intersect_clusters
 
@@ -512,7 +541,7 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
 
     return _mesh_shading(
         scene, t_best, prim_best, beta_best, gamma_best, rot_best,
-        overflow,
+        overflow, meta=meta_best,
     )
 
 
