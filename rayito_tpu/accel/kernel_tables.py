@@ -280,3 +280,49 @@ def build_mxu_weights(tri: np.ndarray) -> np.ndarray:
         w[:, 6 + ax, col] = -n[:, :, ax]  # −n · o
     w[:, 9, col] = np.einsum("cka,cka->ck", n, a)  # + n · v0
     return w.astype(np.float32)
+
+
+def build_bw_rows(tri: np.ndarray) -> np.ndarray:
+    """Per-cluster rows for the Baldwin–Weber (precomputed plane + affine
+    barycentric) VPU triangle test — same [C, KCOMP, 128] layout as the
+    Möller-Trumbore table, ~0.6x the per-block vector-op count.
+
+    ``tri``: [C, KCOMP, 128] v0/e1/e2 component rows. Output rows per
+    triangle lane:
+
+        0-2  n.xyz       (n = e1 × e2, unnormalized)
+        3    d  = n·v0                            (plane equation)
+        4-6  ru.xyz = (e2 × n) / (n·n)            (u row of [e1 e2 n]^-1)
+        7    ud = -ru·v0
+        8-10 rv.xyz = (n × e1) / (n·n)
+        11   vd = -rv·v0
+
+    The kernel computes den = n·dir, t = (d − n·o)/den, p = o + t·dir,
+    u = ru·p + ud, v = rv·p + vd and the usual inside/range tests.
+    Identity: [u, v, w]ᵀ = [e1 e2 n]⁻¹ (p − v0), det([e1 e2 n]) = n·n.
+
+    Degenerate (zero-area or padding) triangles get all-zero rows with
+    d = −1: den = 0 and num = −1 make t = −inf, so every range compare
+    fails — the same structural-miss path as MT's det == 0. Built in f64,
+    stored f32."""
+    c, kcomp, k = tri.shape
+    t64 = tri.astype(np.float64)
+    v0 = np.stack([t64[:, 0], t64[:, 1], t64[:, 2]], -1)  # [C,128,3]
+    e1 = np.stack([t64[:, 3], t64[:, 4], t64[:, 5]], -1)
+    e2 = np.stack([t64[:, 6], t64[:, 7], t64[:, 8]], -1)
+    n = np.cross(e1, e2)
+    nn = np.einsum("cka,cka->ck", n, n)
+    good = nn > 0.0
+    inv = np.where(good, 1.0 / np.where(good, nn, 1.0), 0.0)[..., None]
+    ru = np.cross(e2, n) * inv
+    rv = np.cross(n, e1) * inv
+    out = np.zeros((c, kcomp, k), np.float64)
+    for ax in range(3):
+        out[:, 0 + ax] = n[:, :, ax]
+        out[:, 4 + ax] = ru[:, :, ax]
+        out[:, 8 + ax] = rv[:, :, ax]
+    out[:, 3] = np.where(good, np.einsum("cka,cka->ck", n, v0), -1.0)
+    out[:, 7] = -np.einsum("cka,cka->ck", ru, v0)
+    out[:, 11] = -np.einsum("cka,cka->ck", rv, v0)
+    out[:, 0:3] *= good[:, None, :]
+    return out.astype(np.float32)

@@ -595,13 +595,20 @@ class Scene:
         # weight footprint exceeds the 16 MB VMEM scope on reference-scale
         # scenes, forcing per-step HBM re-streaming that costs more than
         # the matmuls save (full measurement in BENCH_NOTES.md round 3).
-        # Resolved ONCE here (env override, else vpu).
+        # 'bw' = Baldwin–Weber precomputed plane+barycentric rows on the
+        # VPU — same table shape as 'vpu' at ~0.6x the vector ops per MT
+        # block; t carries ~1e-6 relative formulation error (well under the
+        # 2^-17 key quantization), so closest-hit AND occlusion winners go
+        # through the exact re-test like 'mxu'. Resolved ONCE here (env
+        # override, else the per-backend default).
         if traverse_mt is None:
             traverse_mt = os.environ.get("RAYITO_TRAVERSE_MT", "").lower()
-            if traverse_mt not in ("vpu", "mxu"):
+            if traverse_mt not in ("vpu", "mxu", "bw"):
                 traverse_mt = "vpu"
-        if traverse_mt not in ("vpu", "mxu"):
-            raise ValueError(f"traverse_mt must be 'vpu'|'mxu', got {traverse_mt!r}")
+        if traverse_mt not in ("vpu", "mxu", "bw"):
+            raise ValueError(
+                f"traverse_mt must be 'vpu'|'mxu'|'bw', got {traverse_mt!r}"
+            )
 
         ktab_tri, ktab_box, ktab_base, ktab_xf, ktab_seg = [], [], [], [], []
         ktab_mxu = []
@@ -616,6 +623,10 @@ class Scene:
                 from ..accel.kernel_tables import build_mxu_weights
 
                 ktab_mxu.append(jnp.asarray(build_mxu_weights(kt.tri)))
+            elif traverse_mt == "bw":
+                from ..accel.kernel_tables import build_bw_rows
+
+                ktab_mxu.append(jnp.asarray(build_bw_rows(kt.tri)))
         if traversal is None:
             from ..render.pallas_traverse import traversal_impl
 
@@ -939,8 +950,10 @@ class SceneData:
     # VMEM-resident triangle table, cluster AABB table, per-cluster global
     # triangle id base, and the domain's transform id (0 = world space)
     ktab_tri: tuple = ()  # tuple of [C, 16, 128] f32
-    # per-domain MXU Plücker/plane weight blocks [C, 16, 512] f32 — built
-    # only when traverse_mt == 'mxu' (accel/kernel_tables.build_mxu_weights)
+    # per-domain alternate-formulation tables, built only when traverse_mt
+    # != 'vpu': MXU Plücker/plane weight blocks [C, 16, 512] f32 ('mxu',
+    # build_mxu_weights) or Baldwin–Weber rows [C, 16, 128] f32 ('bw',
+    # build_bw_rows)
     ktab_mxu: tuple = ()
     ktab_box: tuple = ()  # tuple of [8, C_pad] f32
     ktab_base: tuple = ()  # tuple of [C] i32
@@ -961,7 +974,8 @@ class SceneData:
     # device-count bit-identity — see Scene.compile)
     tiny_fold: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # per-cluster triangle-test implementation for the traversal kernel
-    # ('vpu' Möller-Trumbore | 'mxu' matmul Plücker — see Scene.compile)
+    # ('vpu' Möller-Trumbore | 'mxu' matmul Plücker | 'bw' Baldwin–Weber —
+    # see Scene.compile)
     traverse_mt: str = dataclasses.field(metadata=dict(static=True), default="vpu")
 
     # -- static (trace-time) counts --

@@ -208,13 +208,13 @@ def _traverse_kernel(
         # at entry, written at exit — which is what lets the state persist
         # across streamed chunks.
 
-        def mt_mxu(c, kb, cb):
+        def mt_key_mxu(c, tb):
             """MXU variant (VERDICT r2 item 1): ONE [B,16]x[16,512] matmul
             against the cluster's precomputed Plücker/plane weight block
             yields w0 | w1 | w2 | tnum (128 lanes each); the epilogue is
-            sign-agreement + t = tnum/(w0+w1+w2) + the same key/min update
-            as the VPU path. Precision HIGHEST: f32 operands on the MXU
-            (bf16 passes underneath); DEFAULT (1-pass bf16, ~2^-8 relative)
+            sign-agreement + t = tnum/(w0+w1+w2) + the shared key pack.
+            Precision HIGHEST: f32 operands on the MXU (bf16 passes
+            underneath); DEFAULT (1-pass bf16, ~2^-8 relative)
             misclassifies edge-adjacent rays far beyond the re-test's
             tolerance."""
             w = tri_ref[0, c]  # [16, 4*KTRI] VMEM block
@@ -233,17 +233,10 @@ def _traverse_kernel(
                 (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
             ) | ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0))
             t = tn / den  # den == 0 -> inf/nan -> range compares fail
-            tb = pltpu.bitcast(kb | jnp.int32(KTRI - 1), jnp.float32)
             ok = inside & (t >= tmin) & (t <= tb)
-            key = jnp.where(ok, _pack_key(t, lane), _IMAX)
-            kmin = jnp.min(key, axis=1, keepdims=True)
-            better = kmin < kb
-            return (
-                jnp.where(better, kmin, kb),
-                jnp.where(better, c_base + c, cb),
-            )
+            return jnp.where(ok, _pack_key(t, lane), _IMAX)
 
-        def mt_vpu(c, kb, cb):
+        def mt_key_vpu(c, tb):
             rows = tri_ref[0, c]  # [16, 128] VMEM block
             v0x, v0y, v0z = rows[0:1], rows[1:2], rows[2:3]
             e1x, e1y, e1z = rows[3:4], rows[4:5], rows[5:6]
@@ -263,7 +256,6 @@ def _traverse_kernel(
             qz = tx * e1y - ty * e1x
             v = (dx * qx + dy * qy + dz * qz) * inv
             t = (e2x * qx + e2y * qy + e2z * qz) * inv
-            tb = pltpu.bitcast(kb | jnp.int32(KTRI - 1), jnp.float32)
             # det==0 -> inv inf -> u/v/t inf or nan -> comparisons fail
             ok = (
                 (u >= 0.0)
@@ -272,7 +264,42 @@ def _traverse_kernel(
                 & (t >= tmin)
                 & (t <= tb)
             )
-            key = jnp.where(ok, _pack_key(t, lane), _IMAX)
+            return jnp.where(ok, _pack_key(t, lane), _IMAX)
+
+        def mt_key_bw(c, tb):
+            """Baldwin–Weber rows (accel/kernel_tables.build_bw_rows):
+            plane-equation t + precomputed affine barycentrics — ~0.6x the
+            vector ops of Möller-Trumbore (no per-pair cross products).
+            den == 0 (parallel / degenerate) -> t = ±inf/nan -> range
+            compares fail, as in the MT det == 0 path."""
+            rows = tri_ref[0, c]  # [16, 128] VMEM block
+            nx, ny, nz, dpl = rows[0:1], rows[1:2], rows[2:3], rows[3:4]
+            rux, ruy, ruz, rud = rows[4:5], rows[5:6], rows[6:7], rows[7:8]
+            rvx, rvy, rvz, rvd = rows[8:9], rows[9:10], rows[10:11], rows[11:12]
+            den = nx * dx + ny * dy + nz * dz
+            t = (dpl - (nx * ox + ny * oy + nz * oz)) / den
+            hx = ox + t * dx
+            hy = oy + t * dy
+            hz = oz + t * dz
+            u = rux * hx + ruy * hy + ruz * hz + rud
+            v = rvx * hx + rvy * hy + rvz * hz + rvd
+            ok = (
+                (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t >= tmin)
+                & (t <= tb)
+            )
+            return jnp.where(ok, _pack_key(t, lane), _IMAX)
+
+        mt_key = {"mxu": mt_key_mxu, "bw": mt_key_bw}.get(mt_mode, mt_key_vpu)
+
+        def mt(c, kb, cb):
+            """[B,1]-carried update (prune path): per-cluster cross-lane
+            min-reduce against the block-global best — the prune's scalar
+            bound needs the reduced [B,1] form every cluster."""
+            tb = pltpu.bitcast(kb | jnp.int32(KTRI - 1), jnp.float32)
+            key = mt_key(c, tb)
             kmin = jnp.min(key, axis=1, keepdims=True)
             better = kmin < kb
             kbn = jnp.where(better, kmin, kb)
@@ -281,7 +308,22 @@ def _traverse_kernel(
                 kbn = jnp.where(cbn >= 0, kbn | jnp.int32(-(2**31)), kbn)
             return kbn, cbn
 
-        mt = mt_mxu if mt_mode == "mxu" else mt_vpu
+        def mt_lane(c, kbl, cbl):
+            """Lane-carried update (non-prune default): the running best
+            rides as PER-LANE [B, KTRI] mins — one compare + two selects
+            per cluster instead of a 128-lane min-reduce — and a single
+            reduce per ray-block recovers the winner. Bit-identical to the
+            reduced form: strict `<` keeps the first (lowest-cluster) hit
+            per lane, and packed keys are unique across lanes (low 7 bits
+            are the lane id), so the block-end reduce resolves to exactly
+            the cluster the sequential [B,1] updates would have kept."""
+            tb = pltpu.bitcast(kbl | jnp.int32(KTRI - 1), jnp.float32)
+            key = mt_key(c, tb)
+            better = key < kbl
+            return (
+                jnp.where(better, key, kbl),
+                jnp.where(better, c_base + c, cbl),
+            )
 
         # scalar-core bit-scan of this block's cluster mask: iterate set
         # bits lowest-first, one unconditional MT block per set bit. The
@@ -338,7 +380,7 @@ def _traverse_kernel(
                         go, mt, lambda _, kb, cb: (kb, cb), c, kb, cb
                     )
                 else:
-                    kb, cb = mt(c, kb, cb)
+                    kb, cb = mt_lane(c, kb, cb)
                 return w, bits & (bits - 1), kb, cb
 
             _, _, kb, cb = jax.lax.while_loop(
@@ -346,12 +388,31 @@ def _traverse_kernel(
             )
             return kb, cb
 
-        kb, cb = jax.lax.fori_loop(
-            0,
-            n_words,
-            scan_word,
-            (kbest_ref[pl.ds(lo, B), :], cbest_ref[pl.ds(lo, B), :]),
-        )
+        kb0 = kbest_ref[pl.ds(lo, B), :]
+        cb0 = cbest_ref[pl.ds(lo, B), :]
+        if prune:
+            kb, cb = jax.lax.fori_loop(0, n_words, scan_word, (kb0, cb0))
+        else:
+            # lane-carried: init every column's bound at the block's current
+            # best; sentinel cluster ids mark never-updated columns
+            kbl, cbl = jax.lax.fori_loop(
+                0,
+                n_words,
+                scan_word,
+                (
+                    jnp.broadcast_to(kb0, (B, KTRI)),
+                    jnp.full((B, KTRI), _IMAX, jnp.int32),
+                ),
+            )
+            # one reduce per ray-block (vs per cluster): recover the winner
+            # lane (packed keys are lane-unique) and its cluster
+            kmin = jnp.min(kbl, axis=1, keepdims=True)
+            imp = kmin < kb0
+            cwin = jnp.min(
+                jnp.where(kbl == kmin, cbl, _IMAX), axis=1, keepdims=True
+            )
+            kb = jnp.where(imp, kmin, kb0)
+            cb = jnp.where(imp, cwin, cb0)
         kbest_ref[pl.ds(lo, B), :] = kb
         cbest_ref[pl.ds(lo, B), :] = cb
         return carry

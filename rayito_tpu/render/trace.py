@@ -390,12 +390,13 @@ def use_pallas_traversal(scene: SceneData) -> bool:
 
 def _domain_view(scene: SceneData, di: int):
     """Kernel-table view for domain ``di``: the tri operand is the MT
-    triangle table ('vpu') or the Plücker weight blocks ('mxu')."""
+    triangle table ('vpu'), the Plücker weight blocks ('mxu'), or the
+    Baldwin–Weber rows ('bw')."""
     import types
 
     tri = (
         scene.ktab_mxu[di]
-        if scene.traverse_mt == "mxu"
+        if scene.traverse_mt != "vpu"
         else scene.ktab_tri[di]
     )
     return types.SimpleNamespace(tri=tri, cl_box=scene.ktab_box[di])
@@ -726,15 +727,16 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 mt_mode=scene.traverse_mt,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
-                # mxu path's approximate winners need the re-test below)
-                any_hit=scene.traverse_mt != "mxu",
+                # mxu/bw paths' approximate winners need the re-test below)
+                any_hit=scene.traverse_mt == "vpu",
             )
-            if scene.traverse_mt == "mxu":
-                # the MXU formulation's t differs from exact Möller-Trumbore
-                # by up to ~1e-5 relative (different cancellation pattern) —
-                # larger than the 128-ulp round-down bound above — so the
-                # winner is re-tested EXACTLY before it can occlude
-                # (one packed vertex-row gather; same helper as closest-hit)
+            if scene.traverse_mt != "vpu":
+                # the MXU/BW formulations' t differs from exact
+                # Möller-Trumbore by up to ~1e-5 relative (different
+                # cancellation pattern) — larger than the 128-ulp round-down
+                # bound above — so the winner is re-tested EXACTLY before it
+                # can occlude (one packed vertex-row gather; same helper as
+                # closest-hit)
                 _, ok_fin, _, _, _ = _winner_retest(
                     scene, di, o_l, d_l, p_d, tmin,
                     jnp.where(occluded, 0.0, tmax),

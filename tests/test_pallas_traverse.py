@@ -204,3 +204,46 @@ def test_kernel_prune_bit_identical_closest_hit():
         ptv._PRUNE_MODE = orig
     np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
     np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+
+
+def test_kernel_bw_matches_vpu():
+    """Baldwin–Weber mode ('bw', accel/kernel_tables.build_bw_rows) vs the
+    exact Möller-Trumbore kernel on the same tables: identical hit/miss and
+    winners, t within the shared key quantization + the ~1e-6 relative BW
+    formulation error (both formulations quantize t to the same 2^-17
+    packed-key grid; scene-level callers re-test winners exactly, so only
+    winner identity and the accept set are contracted here)."""
+    from rayito_tpu.accel.kernel_tables import build_bw_rows
+
+    centers, v0, v1, v2 = _geometry(700, seed=31)
+    rs = np.random.default_rng(32)
+    n = 600
+    o = (centers.mean(0) + rs.normal(0, 25, (n, 3))).astype(np.float32)
+    tgt = centers[rs.integers(0, 700, n)]
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = d.astype(np.float32)
+    valid = np.ones(700, bool)
+    valid[rs.integers(0, 700, 40)] = False
+    tmax = np.full(n, np.inf, np.float32)
+    tmax[n // 2 :] = rs.uniform(1.0, 40.0, n - n // 2).astype(np.float32)
+
+    kt = build_kernel_tables(v0, v1, v2, valid)
+    tbl_vpu = _Tbl(kt)
+    tbl_bw = _Tbl(kt)
+    tbl_bw.tri = jnp.asarray(build_bw_rows(kt.tri))
+
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+    t_v, p_v = traverse(ov, dv, jnp.asarray(tmax), tbl_vpu, 1e-4,
+                        interpret=True, sort_rays=True)
+    t_w, p_w = traverse(ov, dv, jnp.asarray(tmax), tbl_bw, 1e-4,
+                        interpret=True, sort_rays=True, mt_mode="bw")
+    t_v, p_v = np.asarray(t_v), np.asarray(p_v)
+    t_w, p_w = np.asarray(t_w), np.asarray(p_w)
+    np.testing.assert_array_equal(np.isfinite(t_w), np.isfinite(t_v))
+    both = np.isfinite(t_v)
+    assert both.sum() > n // 4
+    np.testing.assert_array_equal(p_w[both], p_v[both])
+    rel = np.abs(t_w[both] - t_v[both]) / np.maximum(t_v[both], 1e-6)
+    assert rel.max() < 1e-4
