@@ -1,4 +1,5 @@
-"""A/B microbenchmark: VPU Möller-Trumbore vs MXU Plücker triangle blocks.
+"""A/B microbenchmark: VPU Möller-Trumbore vs MXU Plücker vs Baldwin–Weber
+triangle blocks.
 
 VERDICT r2 item 1: the round-2 roofline priced the traversal kernel's
 [B-ray, 128-tri] test only on the VPU (~720 vreg-ops, 540-860 ns measured)
@@ -28,6 +29,7 @@ import jax.numpy as jnp
 from rayito_tpu.accel.kernel_tables import (
     KCOMP,
     KTRI,
+    build_bw_rows,
     build_mxu_weights,
 )
 from rayito_tpu.render.pallas_traverse import RB, SB, _traverse_blocks
@@ -81,12 +83,15 @@ def synth(c_clusters: int, n_steps: int, seed=0, density=None):
 
 
 def run(mode, masks, soat, tab, iters, tmin=1e-4):
-    t, p = _traverse_blocks(masks, soat, tab, tmin, False, mode)
+    # prune off: matches the production default (traverse._prune_for)
+    box = jnp.zeros((8, 8), jnp.float32)  # unused when prune=False
+    kw = dict(tmin=tmin, interpret=False, mt_mode=mode, prune=False)
+    t, p = _traverse_blocks(masks, soat, tab, box, **kw)
     _ = float(t.sum())  # compile + sync
     t0 = time.perf_counter()
     outs = []
     for _ in range(iters):
-        outs.append(_traverse_blocks(masks, soat, tab, tmin, False, mode))
+        outs.append(_traverse_blocks(masks, soat, tab, box, **kw))
     _ = float(outs[-1][0].sum() + outs[0][0].sum())  # relay-safe sync
     dt = (time.perf_counter() - t0) / iters
     return dt, outs[-1]
@@ -109,6 +114,8 @@ def main():
 
     dt_v, (tv, pv) = run("vpu", masks, soat, tri, args.iters)
     dt_m, (tm, pm) = run("mxu", masks, soat, wts, args.iters)
+    bw = jnp.asarray(build_bw_rows(np.asarray(tri)))
+    dt_b, (tb, pb) = run("bw", masks, soat, bw, args.iters)
 
     pv = np.asarray(pv).ravel()
     pm = np.asarray(pm).ravel()
@@ -123,7 +130,10 @@ def main():
           f"({mt_blocks} MT blocks/iter, {args.steps * SB} rays)")
     print(f"vpu : {dt_v*1e3:8.3f} ms/iter  {dt_v/mt_blocks*1e9:8.1f} ns/block")
     print(f"mxu : {dt_m*1e3:8.3f} ms/iter  {dt_m/mt_blocks*1e9:8.1f} ns/block")
-    print(f"speedup vpu/mxu: {dt_v/dt_m:.3f}x")
+    print(f"bw  : {dt_b*1e3:8.3f} ms/iter  {dt_b/mt_blocks*1e9:8.1f} ns/block")
+    print(f"speedup vpu/mxu: {dt_v/dt_m:.3f}x  vpu/bw: {dt_v/dt_b:.3f}x")
+    pb = np.asarray(pb).ravel()
+    print(f"bw prim agreement vs vpu: {(np.asarray(pv).ravel() == pb).mean():.5f}")
     print(f"parity: hit-rate {hit_v.mean():.3f}, prim agreement "
           f"{agree_prim:.5f}, max rel t diff {rel_t.max() if both.any() else 0:.2e}")
 
