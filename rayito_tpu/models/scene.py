@@ -599,15 +599,23 @@ class Scene:
         # VPU — same table shape as 'vpu' at ~0.6x the vector ops per MT
         # block; t carries ~1e-6 relative formulation error (well under the
         # 2^-17 key quantization), so closest-hit AND occlusion winners go
-        # through the exact re-test like 'mxu'. Resolved ONCE here (env
-        # override, else the per-backend default).
+        # through the exact re-test like 'mxu' (the occlusion re-test bill
+        # makes full 'bw' a measured end-to-end LOSS, 8.50 vs 9.49).
+        # 'bw_closest' = the measured stage-6 WINNER (9.83 vs 9.49): BW rows
+        # on closest-hit launches only (their winners re-test exactly
+        # anyway) with exact VPU MT on occlusion launches (accepts trusted,
+        # no re-test) — the TPU default. Resolved ONCE here (env override,
+        # else the per-backend default).
         if traverse_mt is None:
             traverse_mt = os.environ.get("RAYITO_TRAVERSE_MT", "").lower()
-            if traverse_mt not in ("vpu", "mxu", "bw"):
-                traverse_mt = "vpu"
-        if traverse_mt not in ("vpu", "mxu", "bw"):
+            if traverse_mt not in ("vpu", "mxu", "bw", "bw_closest"):
+                traverse_mt = (
+                    "bw_closest" if jax.default_backend() == "tpu" else "vpu"
+                )
+        if traverse_mt not in ("vpu", "mxu", "bw", "bw_closest"):
             raise ValueError(
-                f"traverse_mt must be 'vpu'|'mxu'|'bw', got {traverse_mt!r}"
+                "traverse_mt must be 'vpu'|'mxu'|'bw'|'bw_closest', "
+                f"got {traverse_mt!r}"
             )
 
         ktab_tri, ktab_box, ktab_base, ktab_xf, ktab_seg = [], [], [], [], []
@@ -623,7 +631,7 @@ class Scene:
                 from ..accel.kernel_tables import build_mxu_weights
 
                 ktab_mxu.append(jnp.asarray(build_mxu_weights(kt.tri)))
-            elif traverse_mt == "bw":
+            elif traverse_mt in ("bw", "bw_closest"):
                 from ..accel.kernel_tables import build_bw_rows
 
                 ktab_mxu.append(jnp.asarray(build_bw_rows(kt.tri)))

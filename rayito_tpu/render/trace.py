@@ -388,17 +388,26 @@ def use_pallas_traversal(scene: SceneData) -> bool:
     return len(scene.ktab_xf) > 0 and scene.traversal == "pallas"
 
 
-def _domain_view(scene: SceneData, di: int):
-    """Kernel-table view for domain ``di``: the tri operand is the MT
-    triangle table ('vpu'), the Plücker weight blocks ('mxu'), or the
-    Baldwin–Weber rows ('bw')."""
+def _mt_for(scene: SceneData, occlusion: bool) -> str:
+    """Effective kernel triangle-test mode per query type. 'bw_closest'
+    splits: Baldwin–Weber rows on closest-hit launches (whose winners go
+    through the exact re-test anyway) and exact VPU Möller-Trumbore on
+    occlusion launches (whose in-kernel accepts are trusted without a
+    re-test) — each launch holds only its own table in VMEM, so both
+    stay under the scope independently."""
+    m = scene.traverse_mt
+    if m == "bw_closest":
+        return "vpu" if occlusion else "bw"
+    return m
+
+
+def _domain_view(scene: SceneData, di: int, mt: str):
+    """Kernel-table view for domain ``di`` under effective mode ``mt``:
+    the tri operand is the MT triangle table ('vpu'), the Plücker weight
+    blocks ('mxu'), or the Baldwin–Weber rows ('bw')."""
     import types
 
-    tri = (
-        scene.ktab_mxu[di]
-        if scene.traverse_mt != "vpu"
-        else scene.ktab_tri[di]
-    )
+    tri = scene.ktab_mxu[di] if mt != "vpu" else scene.ktab_tri[di]
     return types.SimpleNamespace(tri=tri, cl_box=scene.ktab_box[di])
 
 
@@ -470,11 +479,12 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
     rot_best = _identity_quat(n) if scene.has_motion else None
 
     meta_best = None
+    mt = _mt_for(scene, occlusion=False)
     for di in range(len(scene.ktab_xf)):
         o_l, d_l, rotation = _domain_local_ray(scene, di, o, d, time)
         _, p_d = traverse(
-            o_l, d_l, jnp.minimum(t_best, tmax), _domain_view(scene, di),
-            tmin, want_t=False, mt_mode=scene.traverse_mt,
+            o_l, d_l, jnp.minimum(t_best, tmax), _domain_view(scene, di, mt),
+            tmin, want_t=False, mt_mode=mt,
         )
         # winner re-test per domain: exact t + barycentrics + shading meta
         # from ONE fused 32-col row gather (the kernel's packed key carries
@@ -719,18 +729,19 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
         bits = jax.lax.bitcast_convert_type(tq, jnp.int32)
         bits_dn = jnp.maximum((bits & ~jnp.int32(KTRI - 1)) - jnp.int32(KTRI), 0)
         tq_dn = jax.lax.bitcast_convert_type(bits_dn, jnp.float32)
+        mt = _mt_for(scene, occlusion=True)
         for di in range(len(scene.ktab_xf)):
             o_l, d_l, _ = _domain_local_ray(scene, di, o, d, time)
             _, p_d = traverse(
                 o_l, d_l, jnp.where(occluded, 0.0, tq_dn),
-                _domain_view(scene, di), tmin, want_t=False,
-                mt_mode=scene.traverse_mt,
+                _domain_view(scene, di, mt), tmin, want_t=False,
+                mt_mode=mt,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
                 # mxu/bw paths' approximate winners need the re-test below)
-                any_hit=scene.traverse_mt == "vpu",
+                any_hit=mt == "vpu",
             )
-            if scene.traverse_mt != "vpu":
+            if mt != "vpu":
                 # the MXU/BW formulations' t differs from exact
                 # Möller-Trumbore by up to ~1e-5 relative (different
                 # cancellation pattern) — larger than the 128-ulp round-down

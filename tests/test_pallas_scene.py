@@ -83,7 +83,7 @@ def _both_impls(fn, scene):
     (_static_two_mesh_scene, 0.0),
     (_motion_mesh_scene, 0.37),
 ])
-@pytest.mark.parametrize("mt", ["vpu", "mxu", "bw"])
+@pytest.mark.parametrize("mt", ["vpu", "mxu", "bw", "bw_closest"])
 def test_scene_intersect_parity(scene_fn, time, mt):
     scene = scene_fn(traverse_mt=mt)
     if scene_fn is _static_two_mesh_scene:
@@ -129,7 +129,7 @@ def test_scene_intersect_parity(scene_fn, time, mt):
     # transformed box bypasses the kernel and must still occlude
     (_motion_mesh_scene, 0.37),
 ])
-@pytest.mark.parametrize("mt", ["vpu", "mxu", "bw"])
+@pytest.mark.parametrize("mt", ["vpu", "mxu", "bw", "bw_closest"])
 def test_scene_occluded_parity(scene_fn, time, mt):
     scene = scene_fn(traverse_mt=mt)
     n = 512
