@@ -22,10 +22,16 @@ via the ``has_motion`` static flag.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Experiment knob (import-time constant, like pallas_traverse.B): sort
+# occlusion launches by the coherence key (default) or keep wavefront
+# (pixel) order. Measured on stage-6: sorted wins — see BENCH_NOTES.md.
+_SORT_OCCL = os.environ.get("RAYITO_SORT_OCCL", "1") != "0"
 
 from ..models.scene import SceneData
 from ..ops import transform as xf
@@ -735,7 +741,7 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
             _, p_d = traverse(
                 o_l, d_l, jnp.where(occluded, 0.0, tq_dn),
                 _domain_view(scene, di, mt), tmin, want_t=False,
-                mt_mode=mt,
+                mt_mode=mt, sort_rays=None if _SORT_OCCL else False,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
                 # mxu/bw paths' approximate winners need the re-test below)
