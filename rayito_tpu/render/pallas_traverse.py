@@ -216,7 +216,19 @@ def _traverse_kernel(
             Precision HIGHEST: f32 operands on the MXU (bf16 passes
             underneath); DEFAULT (1-pass bf16, ~2^-8 relative)
             misclassifies edge-adjacent rays far beyond the re-test's
-            tolerance."""
+            tolerance.
+
+            ``tb is None`` (lane-carried path): the explicit t <= tb test
+            is DROPPED — the packed-key min against the tmax-initialized
+            carry enforces the identical acceptance window (pack_key is
+            monotone in t and kb0 = pack(tmax), so key < carry accepts
+            exactly the keys t <= tb would, same 2^-17 bucket slack), and
+            out-of-range t (inf/nan from den == 0, t beyond 3e38) packs to
+            keys that lose the min or fail t >= tmin. Saves materializing
+            tb ([B, KTRI] bitcast+or) plus a [B, KTRI] compare+and per
+            cluster; end-to-end NEUTRAL on idle-host A/B (9.84 vs 9.87 —
+            the block is latency-bound, see BENCH_NOTES), kept for the
+            strictly smaller op count."""
             w = tri_ref[0, c]  # [16, 4*KTRI] VMEM block
             z = jax.lax.dot_general(
                 p_ref[pl.ds(lo, B), :], w,
@@ -233,7 +245,9 @@ def _traverse_kernel(
                 (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
             ) | ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0))
             t = tn / den  # den == 0 -> inf/nan -> range compares fail
-            ok = inside & (t >= tmin) & (t <= tb)
+            ok = inside & (t >= tmin)
+            if tb is not None:
+                ok &= t <= tb
             return jnp.where(ok, _pack_key(t, lane), _IMAX)
 
         def mt_key_vpu(c, tb):
@@ -262,8 +276,9 @@ def _traverse_kernel(
                 & (v >= 0.0)
                 & (u + v <= 1.0)
                 & (t >= tmin)
-                & (t <= tb)
             )
+            if tb is not None:  # see mt_key_mxu: None = bound via key min
+                ok &= t <= tb
             return jnp.where(ok, _pack_key(t, lane), _IMAX)
 
         def mt_key_bw(c, tb):
@@ -288,8 +303,9 @@ def _traverse_kernel(
                 & (v >= 0.0)
                 & (u + v <= 1.0)
                 & (t >= tmin)
-                & (t <= tb)
             )
+            if tb is not None:  # see mt_key_mxu: None = bound via key min
+                ok &= t <= tb
             return jnp.where(ok, _pack_key(t, lane), _IMAX)
 
         mt_key = {"mxu": mt_key_mxu, "bw": mt_key_bw}.get(mt_mode, mt_key_vpu)
@@ -316,9 +332,12 @@ def _traverse_kernel(
             reduced form: strict `<` keeps the first (lowest-cluster) hit
             per lane, and packed keys are unique across lanes (low 7 bits
             are the lane id), so the block-end reduce resolves to exactly
-            the cluster the sequential [B,1] updates would have kept."""
-            tb = pltpu.bitcast(kbl | jnp.int32(KTRI - 1), jnp.float32)
-            key = mt_key(c, tb)
+            the cluster the sequential [B,1] updates would have kept.
+
+            tb=None: the t <= tb bound is folded into the key < kbl min —
+            see mt_key_mxu. kbl columns only ever SHRINK from the
+            tmax-initialized kb0, so the window stays exact per lane."""
+            key = mt_key(c, None)
             better = key < kbl
             return (
                 jnp.where(better, key, kbl),
