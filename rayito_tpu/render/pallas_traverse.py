@@ -129,6 +129,8 @@ def _traverse_kernel(
     #           chunk of the cluster table
     tout_ref, pout_ref,  # [1, SB, 1]
     kbest_ref, cbest_ref,  # [SB, 1] i32 scratch (persist across chunks)
+    clist_ref=None,  # [n_words*32] i32 SMEM scratch: per-ray-block cluster
+    #                  worklist (lane-carried path only; rebuilt per block)
     p_ref=None,  # [SB, 16] f32 ray-feature scratch ('mxu' only)
     *, n_words: int, tmin: float, mt_mode: str = "vpu", n_chunks: int = 1,
     chunk: int = 0, prune: bool = True, any_hit: bool = False,
@@ -324,28 +326,8 @@ def _traverse_kernel(
                 kbn = jnp.where(cbn >= 0, kbn | jnp.int32(-(2**31)), kbn)
             return kbn, cbn
 
-        def mt_lane(c, kbl, cbl):
-            """Lane-carried update (non-prune default): the running best
-            rides as PER-LANE [B, KTRI] mins — one compare + two selects
-            per cluster instead of a 128-lane min-reduce — and a single
-            reduce per ray-block recovers the winner. Bit-identical to the
-            reduced form: strict `<` keeps the first (lowest-cluster) hit
-            per lane, and packed keys are unique across lanes (low 7 bits
-            are the lane id), so the block-end reduce resolves to exactly
-            the cluster the sequential [B,1] updates would have kept.
-
-            tb=None: the t <= tb bound is folded into the key < kbl min —
-            see mt_key_mxu. kbl columns only ever SHRINK from the
-            tmax-initialized kb0, so the window stays exact per lane."""
-            key = mt_key(c, None)
-            better = key < kbl
-            return (
-                jnp.where(better, key, kbl),
-                jnp.where(better, c_base + c, cbl),
-            )
-
-        # scalar-core bit-scan of this block's cluster mask: iterate set
-        # bits lowest-first, one unconditional MT block per set bit. The
+        # scalar-core bit-scan of this block's cluster mask (prune path):
+        # iterate set bits lowest-first, one MT block per surviving bit. The
         # word loop is a fori_loop so the MT body is inlined ONCE per
         # ray-block (a statically unrolled word loop multiplied Mosaic
         # compile time by n_words).
@@ -362,44 +344,41 @@ def _traverse_kernel(
                     low * jnp.int32(_DEBRUIJN_MUL), 27
                 )
                 c = w * 32 + ctz_ref[idx]
-                if prune:
-                    # per-cluster slab vs the CARRIED best: 6 scalar box
-                    # loads + ~20 [B,1] vector ops + one any() — skips the
-                    # ~720-vreg-op MT block when no ray can improve.
-                    bx0 = box_ref[0, c, 0]
-                    by0 = box_ref[0, c, 1]
-                    bz0 = box_ref[0, c, 2]
-                    bx1 = box_ref[0, c, 3]
-                    by1 = box_ref[0, c, 4]
-                    bz1 = box_ref[0, c, 5]
-                    tx0 = (bx0 - ox) * ivx
-                    tx1 = (bx1 - ox) * ivx
-                    ty0 = (by0 - oy) * ivy
-                    ty1 = (by1 - oy) * ivy
-                    tz0 = (bz0 - oz) * ivz
-                    tz1 = (bz1 - oz) * ivz
-                    near = jnp.maximum(
-                        jnp.maximum(
-                            jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)
-                        ),
-                        jnp.maximum(jnp.minimum(tz0, tz1), tmin),
-                    )
-                    far = jnp.minimum(
-                        jnp.minimum(
-                            jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)
-                        ),
-                        jnp.maximum(tz0, tz1),
-                    )
-                    tb = pltpu.bitcast(kb | jnp.int32(KTRI - 1), jnp.float32)
-                    # 1e-5 relative slack >> the ~4-ulp slab rounding, so a
-                    # skip can never drop a t <= tb hit (see docstring);
-                    # frozen/dead lanes have tb <= ~0 < tmin and never vote
-                    go = jnp.any((near <= far) & (near * (1.0 - 1e-5) <= tb))
-                    kb, cb = jax.lax.cond(
-                        go, mt, lambda _, kb, cb: (kb, cb), c, kb, cb
-                    )
-                else:
-                    kb, cb = mt_lane(c, kb, cb)
+                # per-cluster slab vs the CARRIED best: 6 scalar box
+                # loads + ~20 [B,1] vector ops + one any() — skips the
+                # ~720-vreg-op MT block when no ray can improve.
+                bx0 = box_ref[0, c, 0]
+                by0 = box_ref[0, c, 1]
+                bz0 = box_ref[0, c, 2]
+                bx1 = box_ref[0, c, 3]
+                by1 = box_ref[0, c, 4]
+                bz1 = box_ref[0, c, 5]
+                tx0 = (bx0 - ox) * ivx
+                tx1 = (bx1 - ox) * ivx
+                ty0 = (by0 - oy) * ivy
+                ty1 = (by1 - oy) * ivy
+                tz0 = (bz0 - oz) * ivz
+                tz1 = (bz1 - oz) * ivz
+                near = jnp.maximum(
+                    jnp.maximum(
+                        jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)
+                    ),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tmin),
+                )
+                far = jnp.minimum(
+                    jnp.minimum(
+                        jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)
+                    ),
+                    jnp.maximum(tz0, tz1),
+                )
+                tb = pltpu.bitcast(kb | jnp.int32(KTRI - 1), jnp.float32)
+                # 1e-5 relative slack >> the ~4-ulp slab rounding, so a
+                # skip can never drop a t <= tb hit (see docstring);
+                # frozen/dead lanes have tb <= ~0 < tmin and never vote
+                go = jnp.any((near <= far) & (near * (1.0 - 1e-5) <= tb))
+                kb, cb = jax.lax.cond(
+                    go, mt, lambda _, kb, cb: (kb, cb), c, kb, cb
+                )
                 return w, bits & (bits - 1), kb, cb
 
             _, _, kb, cb = jax.lax.while_loop(
@@ -412,13 +391,65 @@ def _traverse_kernel(
         if prune:
             kb, cb = jax.lax.fori_loop(0, n_words, scan_word, (kb0, cb0))
         else:
-            # lane-carried: init every column's bound at the block's current
-            # best; sentinel cluster ids mark never-updated columns
-            kbl, cbl = jax.lax.fori_loop(
-                0,
-                n_words,
-                scan_word,
+            # Lane-carried 2-WIDE path (non-prune default). The running
+            # best rides as PER-LANE [B, KTRI] mins — one compare + two
+            # selects per cluster instead of a 128-lane min-reduce — and a
+            # single reduce per ray-block recovers the winner. Bit-identical
+            # to the sequential reduced form: strict `<` keeps the first
+            # (lowest-cluster) hit per lane, packed keys are lane-unique,
+            # and `t <= tb` is implied by the key min (see mt_key_mxu).
+            #
+            # TWO independent clusters issue per loop iteration: the MT
+            # block is LATENCY-bound (BW at 0.6x ops and the tb-drop both
+            # measured ~0 end-to-end delta), so pairing exposes ILP the
+            # serial one-cluster-per-iteration chain cannot. A scalar
+            # pre-pass flattens this block's set mask bits into an SMEM
+            # worklist (ascending cluster order) so pairing is decoupled
+            # from word boundaries — odd counts duplicate the LAST cluster
+            # once per ray-block (idempotent under the strict-< fold).
+            def collect_word(w, cnt):
+                def nb(s):
+                    bits, cnt = s
+                    low = bits & -bits
+                    idx = jax.lax.shift_right_logical(
+                        low * jnp.int32(_DEBRUIJN_MUL), 27
+                    )
+                    clist_ref[cnt] = w * 32 + ctz_ref[idx]
+                    return bits & (bits - 1), cnt + 1
+
+                _, cnt = jax.lax.while_loop(
+                    lambda s: s[0] != 0, nb, (mask_ref[0, 0, r, w], cnt)
+                )
+                return cnt
+
+            cnt = jax.lax.fori_loop(
+                0, n_words, collect_word, jnp.int32(0)
+            )
+
+            def pair_step(s):
+                i, kbl, cbl = s
+                c0 = clist_ref[i]
+                c1 = clist_ref[jnp.minimum(i + 1, cnt - 1)]
+                key0 = mt_key(c0, None)  # independent chains: Mosaic
+                key1 = mt_key(c1, None)  # interleaves their issue slots
+                k2 = jnp.minimum(key0, key1)
+                # ties pick c0 (lower id — the list is ascending), matching
+                # the sequential scan's first-wins rule
+                c2 = jnp.where(key0 <= key1, c_base + c0, c_base + c1)
+                better = k2 < kbl
+                return (
+                    i + 2,
+                    jnp.where(better, k2, kbl),
+                    jnp.where(better, c2, cbl),
+                )
+
+            # init every column's bound at the block's current best;
+            # sentinel cluster ids mark never-updated columns
+            _, kbl, cbl = jax.lax.while_loop(
+                lambda s: s[0] < cnt,
+                pair_step,
                 (
+                    jnp.int32(0),
                     jnp.broadcast_to(kb0, (B, KTRI)),
                     jnp.full((B, KTRI), _IMAX, jnp.int32),
                 ),
@@ -545,6 +576,9 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
     scratch = [
         pltpu.VMEM((SB, 1), jnp.int32),  # kbest (packed t|lane), per step
         pltpu.VMEM((SB, 1), jnp.int32),  # cbest (global cluster id)
+        # per-ray-block cluster worklist for the 2-wide lane-carried scan
+        # (chunk-local ids, so nw*32 entries bound it; <= 2 KB of SMEM)
+        pltpu.SMEM((nw * 32,), jnp.int32),
     ]
     if mt_mode == "mxu":
         scratch.append(pltpu.VMEM((SB, 16), jnp.float32))  # ray features P
