@@ -79,6 +79,12 @@ _IMAX = jnp.iinfo(jnp.int32).max
 # pinned by tests/test_pallas_traverse.py) because its value grows with
 # scene depth complexity; '1'/'anyhit' enable it for such sweeps.
 _PRUNE_MODE = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
+# clusters issued per lane-carried loop iteration (ILP width). The MT
+# block is latency-bound (see BENCH_NOTES round 3), so independent chains
+# per iteration recover throughput; a 1-wide tail loop handles cnt % WIDE.
+WIDE = int(os.environ.get("RAYITO_TRAVERSE_WIDE", "2"))
+if not 1 <= WIDE <= 8:
+    raise ValueError(f"RAYITO_TRAVERSE_WIDE={WIDE!r}: must be in 1..8")
 
 
 def _prune_for(any_hit: bool) -> bool:
@@ -399,14 +405,14 @@ def _traverse_kernel(
             # (lowest-cluster) hit per lane, packed keys are lane-unique,
             # and `t <= tb` is implied by the key min (see mt_key_mxu).
             #
-            # TWO independent clusters issue per loop iteration: the MT
+            # WIDE independent clusters issue per loop iteration: the MT
             # block is LATENCY-bound (BW at 0.6x ops and the tb-drop both
-            # measured ~0 end-to-end delta), so pairing exposes ILP the
+            # measured ~0 end-to-end delta), so grouping exposes ILP the
             # serial one-cluster-per-iteration chain cannot. A scalar
             # pre-pass flattens this block's set mask bits into an SMEM
-            # worklist (ascending cluster order) so pairing is decoupled
-            # from word boundaries — odd counts duplicate the LAST cluster
-            # once per ray-block (idempotent under the strict-< fold).
+            # worklist (ascending cluster order) so grouping is decoupled
+            # from word boundaries; the cnt % WIDE tail runs 1-wide (no
+            # padding blocks).
             def collect_word(w, cnt):
                 def nb(s):
                     bits, cnt = s
@@ -426,33 +432,50 @@ def _traverse_kernel(
                 0, n_words, collect_word, jnp.int32(0)
             )
 
-            def pair_step(s):
+            def wide_step(s):
                 i, kbl, cbl = s
-                c0 = clist_ref[i]
-                c1 = clist_ref[jnp.minimum(i + 1, cnt - 1)]
-                key0 = mt_key(c0, None)  # independent chains: Mosaic
-                key1 = mt_key(c1, None)  # interleaves their issue slots
-                k2 = jnp.minimum(key0, key1)
-                # ties pick c0 (lower id — the list is ascending), matching
-                # the sequential scan's first-wins rule
-                c2 = jnp.where(key0 <= key1, c_base + c0, c_base + c1)
-                better = k2 < kbl
+                # WIDE independent mt_key chains: Mosaic interleaves their
+                # issue slots (the block is latency-bound, not issue-bound)
+                cs = [clist_ref[i + j] for j in range(WIDE)]
+                keys = [mt_key(c, None) for c in cs]
+                # fold ascending — strict < keeps the EARLIEST (lowest
+                # cluster id) on key ties, matching the sequential scan
+                k_sel, c_sel = keys[0], c_base + cs[0]
+                for j in range(1, WIDE):
+                    bj = keys[j] < k_sel
+                    k_sel = jnp.where(bj, keys[j], k_sel)
+                    c_sel = jnp.where(bj, c_base + cs[j], c_sel)
+                better = k_sel < kbl
                 return (
-                    i + 2,
-                    jnp.where(better, k2, kbl),
-                    jnp.where(better, c2, cbl),
+                    i + WIDE,
+                    jnp.where(better, k_sel, kbl),
+                    jnp.where(better, c_sel, cbl),
+                )
+
+            def one_step(s):  # tail: cnt % WIDE clusters, 1-wide
+                i, kbl, cbl = s
+                key = mt_key(clist_ref[i], None)
+                better = key < kbl
+                return (
+                    i + 1,
+                    jnp.where(better, key, kbl),
+                    jnp.where(better, c_base + clist_ref[i], cbl),
                 )
 
             # init every column's bound at the block's current best;
             # sentinel cluster ids mark never-updated columns
-            _, kbl, cbl = jax.lax.while_loop(
-                lambda s: s[0] < cnt,
-                pair_step,
+            nfull = cnt - jax.lax.rem(cnt, jnp.int32(WIDE))
+            st = jax.lax.while_loop(
+                lambda s: s[0] < nfull,
+                wide_step,
                 (
                     jnp.int32(0),
                     jnp.broadcast_to(kb0, (B, KTRI)),
                     jnp.full((B, KTRI), _IMAX, jnp.int32),
                 ),
+            )
+            _, kbl, cbl = jax.lax.while_loop(
+                lambda s: s[0] < cnt, one_step, st
             )
             # one reduce per ray-block (vs per cluster): recover the winner
             # lane (packed keys are lane-unique) and its cluster
