@@ -31,20 +31,24 @@ from rayito_tpu.models.demo import (
     stage6_scene,
     stage7_scene2,
 )
-from rayito_tpu.render.pathtracer import _render_path_pass
+from rayito_tpu.render.pathtracer import _render_path_frame
 from rayito_tpu.utils.config import RenderConfig
 
 TARGET_MRAYS = 50.0
 
 
-def time_config(scene, cam, cfg, frames=3, profile_dir=None):
+def time_config(scene, cam, cfg, frames=10, profile_dir=None):
     """Time ``frames`` full frames of row-banded 1-sample launches.
     Returns measured Mrays/s (issued queries / wall time)."""
     height = cfg.height
-    si = jnp.arange(1, dtype=jnp.int32)  # one sample per launch; row bands
     band = min(height, cfg.max_rays_per_pass // cfg.width)
+    # one fused dispatch per frame: sample 0 over all row bands (the
+    # launch grid _render_path_frame scans over on-device)
+    r0s = [min(r0, height - band) for r0 in range(0, height, band)]
+    si_mat = jnp.zeros((len(r0s), 1), jnp.int32)
+    row0s = jnp.asarray(r0s, jnp.int32)
     # warmup / compile (row0 is traced: one executable covers all bands)
-    img, _, _ = _render_path_pass(scene, cfg, cam, si, 0, band)
+    img, _, _ = _render_path_frame(scene, cfg, cam, si_mat, row0s, band)
     _ = float(img.sum())
 
     prof = (
@@ -56,12 +60,9 @@ def time_config(scene, cam, cfg, frames=3, profile_dir=None):
     with prof:
         outs = []
         for _ in range(frames):
-            for r0 in range(0, height, band):
-                outs.append(
-                    _render_path_pass(
-                        scene, cfg, cam, si, min(r0, height - band), band
-                    )
-                )
+            outs.append(
+                _render_path_frame(scene, cfg, cam, si_mat, row0s, band)
+            )
         # one hard sync at the end (block_until_ready does not reliably
         # block through the axon relay; a scalar readback does)
         _ = float(outs[-1][0].sum() + outs[0][0].sum())
@@ -109,8 +110,8 @@ def main():
     if args.profile:
         from rayito_tpu.utils.profiling import phase_table
 
-        print("per-frame device-time phases (3 frames):", file=sys.stderr)
-        for label, ms, cnt in phase_table(args.profile, divisor=3):
+        print("per-frame device-time phases (10 frames):", file=sys.stderr)
+        for label, ms, cnt in phase_table(args.profile, divisor=10):
             print(f"  {label:<45} {ms:8.2f} ms  ({cnt} ops)", file=sys.stderr)
 
     extra = {}

@@ -443,6 +443,34 @@ def _render_path_pass(scene: SceneData, config: RenderConfig, camera: Perspectiv
     return img, overflow, queries
 
 
+@partial(jax.jit, static_argnames=("config", "rows"))
+def _render_path_frame(scene: SceneData, config: RenderConfig,
+                       camera: PerspectiveCamera, si_mat, row0s,
+                       rows: int = 0):
+    """ONE device dispatch for a whole launch grid: lax.scan over the
+    (sample-chunk, row-band) launches that render_path_with_stats would
+    otherwise dispatch from the host one by one. Through the axon relay
+    each dispatch costs ~ms of host gap (measured ~17 ms of a ~88 ms
+    stage-6 bench frame wall-vs-device difference at 8 launches/frame),
+    so a frame's launches are folded into a single executable.
+
+    si_mat: [L, k] int32 sample indices per launch; row0s: [L] int32 first
+    row per launch. Returns (imgs [L, rows, W, 3], overflow, queries) with
+    the counters summed across launches. Bit-identical per-launch images
+    to L separate _render_path_pass calls (the scan body IS that pass)."""
+
+    def step(carry, xs):
+        ovf, q = carry
+        si, r0 = xs
+        img, o1, q1 = _render_path_pass(scene, config, camera, si, r0, rows)
+        return (ovf + o1, q + q1), img
+
+    (overflow, queries), imgs = jax.lax.scan(
+        step, (jnp.int32(0), jnp.int32(0)), (si_mat, row0s)
+    )
+    return imgs, overflow, queries
+
+
 def render_path_with_stats(scene: SceneData, config: RenderConfig,
                            camera: PerspectiveCamera):
     """Stage-5/6/7 path-traced render (box-filtered mean of spp² samples).
@@ -451,7 +479,9 @@ def render_path_with_stats(scene: SceneData, config: RenderConfig,
     config.max_rays_per_pass lanes per device launch — over sample indices
     first, then over pixel-row bands when a single sample still exceeds the
     budget (large frames: keeps the traversal's [N, K] intermediates inside
-    comfortable HBM headroom)."""
+    comfortable HBM headroom). All chunks of a frame run as ONE device
+    dispatch (_render_path_frame); accumulation order on the host matches
+    the historical launch-by-launch loop bit for bit."""
     spp_total = config.pixel_samples * config.pixel_samples
     w, h = config.width, config.height
     n_pix = w * h
@@ -460,8 +490,21 @@ def render_path_with_stats(scene: SceneData, config: RenderConfig,
     queries = 0
     if n_pix <= config.max_rays_per_pass:
         chunk = max(1, min(spp_total, config.max_rays_per_pass // n_pix))
-        for s0 in range(0, spp_total, chunk):
-            si = jnp.arange(s0, min(s0 + chunk, spp_total), dtype=jnp.int32)
+        n_full = spp_total // chunk
+        if n_full:
+            si_mat = jnp.arange(n_full * chunk, dtype=jnp.int32).reshape(
+                n_full, chunk
+            )
+            imgs, ovf, q = _render_path_frame(
+                scene, config, camera, si_mat,
+                jnp.zeros((n_full,), jnp.int32),
+            )
+            for img in np.asarray(imgs):
+                acc += img
+            overflow += int(ovf)
+            queries += int(q)
+        if n_full * chunk < spp_total:  # ragged tail chunk, one launch
+            si = jnp.arange(n_full * chunk, spp_total, dtype=jnp.int32)
             img, ovf, q = _render_path_pass(scene, config, camera, si)
             acc += np.asarray(img)
             overflow += int(ovf)
@@ -472,21 +515,23 @@ def render_path_with_stats(scene: SceneData, config: RenderConfig,
         # uniform band height -> ONE compiled executable for every band
         # (row0 is traced); the last band renders past the frame edge and is
         # cropped (out-of-frame pixels cost a few wasted lanes)
+        r0s = [min(b * band, h - band) for b in range(n_bands)]
+        si_mat = jnp.repeat(
+            jnp.arange(spp_total, dtype=jnp.int32)[:, None], n_bands, axis=0
+        )  # [(spp, band) grid, 1] — sample-major, matching the old loop
+        row0s = jnp.asarray(r0s * spp_total, jnp.int32)
+        imgs, ovf, q = _render_path_frame(
+            scene, config, camera, si_mat, row0s, band
+        )
+        imgs = np.asarray(imgs)
         for s0 in range(spp_total):
-            si = jnp.arange(s0, s0 + 1, dtype=jnp.int32)
-            outs = [
-                _render_path_pass(
-                    scene, config, camera, si, min(b * band, h - band), band
-                )
-                for b in range(n_bands)
-            ]
-            for b, (out, ovf, q) in enumerate(outs):
-                r0 = min(b * band, h - band)
+            for b in range(n_bands):
+                r0 = r0s[b]
                 done = b * band  # rows already accumulated by earlier bands
                 skip = max(0, done - r0)  # overlap of a shifted last band
-                acc[r0 + skip : r0 + band] += np.asarray(out)[skip:]
-                overflow += int(ovf)
-                queries += int(q)
+                acc[r0 + skip : r0 + band] += imgs[s0 * n_bands + b][skip:]
+        overflow += int(ovf)
+        queries += int(q)
     return acc / np.float32(spp_total), overflow, queries
 
 
