@@ -82,7 +82,9 @@ _PRUNE_MODE = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
 # clusters issued per lane-carried loop iteration (ILP width). The MT
 # block is latency-bound (see BENCH_NOTES round 3), so independent chains
 # per iteration recover throughput; a 1-wide tail loop handles cnt % WIDE.
-WIDE = int(os.environ.get("RAYITO_TRAVERSE_WIDE", "2"))
+# Interleaved idle-host sweep at B=128: W1 ~9.8, W2 11.53, W4 11.72,
+# W6/W8 flat vs W4 — default 4.
+WIDE = int(os.environ.get("RAYITO_TRAVERSE_WIDE", "4"))
 if not 1 <= WIDE <= 8:
     raise ValueError(f"RAYITO_TRAVERSE_WIDE={WIDE!r}: must be in 1..8")
 
