@@ -95,6 +95,49 @@ def test_kernel_matches_brute_force_aimed():
     assert hits > n // 4  # aimed rays: meaningful coverage
 
 
+def test_kernel_wide_sweep_bit_identical(monkeypatch):
+    """The lane-carried ILP width (worklist grouping + the 1-wide tail
+    loop for cnt % WIDE) is pure scheduling: W=1 (all-tail sequential),
+    W=3 (ragged tails), W=8 must produce BIT-identical (t, prim) to the
+    default. Exercises empty worklists, cnt < W, and cnt % W != 0."""
+    import jax
+
+    from rayito_tpu.render import pallas_traverse as pt
+
+    centers, v0, v1, v2 = _geometry(500, seed=11)
+    rs = np.random.default_rng(12)
+    n = 400
+    o = (centers.mean(0) + rs.normal(0, 20, (n, 3))).astype(np.float32)
+    tgt = centers[rs.integers(0, 500, n)]
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(n, np.inf, np.float32)
+    tmax[-60:] = 0.0  # dead lanes: empty worklists
+    valid = np.ones(500, bool)
+    tbl = _Tbl(build_kernel_tables(v0, v1, v2, valid))
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+
+    outs = {}
+    try:
+        for w in (1, 3, pt.WIDE, 8):
+            monkeypatch.setattr(pt, "WIDE", w)
+            jax.clear_caches()  # WIDE is baked at trace time, not a jit key
+            t_k, p_k = traverse(
+                ov, dv, jnp.asarray(tmax), tbl, 1e-4, interpret=True,
+                sort_rays=False,
+            )
+            outs[w] = (np.asarray(t_k), np.asarray(p_k))
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()
+    ref_t, ref_p = outs[1]
+    assert np.isfinite(ref_t).sum() > 100  # meaningful coverage
+    for w, (t_k, p_k) in outs.items():
+        np.testing.assert_array_equal(t_k, ref_t, err_msg=f"W={w}")
+        np.testing.assert_array_equal(p_k, ref_p, err_msg=f"W={w}")
+
+
 def test_kernel_axis_aligned_and_misses():
     centers, v0, v1, v2 = _geometry(300, seed=3)
     rs = np.random.default_rng(4)

@@ -103,3 +103,43 @@ def test_determinism():
     np.testing.assert_array_equal(a, b)
     c = render_path(scene, dataclasses.replace(cfg, seed=5), cam)
     assert np.abs(a - c).max() > 0
+
+
+def test_fused_frame_matches_sequential_launches():
+    """The scanned whole-frame dispatch (_render_path_frame) must be
+    BIT-identical, launch for launch, to dispatching the same
+    (sample-chunk, row-band) grid one _render_path_pass at a time —
+    the fused path is pure orchestration, not a numeric change."""
+    import jax.numpy as jnp
+
+    from rayito_tpu.render.pathtracer import (
+        _render_path_frame,
+        _render_path_pass,
+    )
+
+    s = rt.Scene()
+    s.add(rt.Plane((0, -2, 0), (0, 1, 0), rt.DiffuseMaterial((0.9, 0.8, 0.7))))
+    s.add(rt.Sphere((0.5, -1.0, 0.0), 1.0, rt.DiffuseMaterial((0.2, 0.6, 0.9))))
+    s.add(rt.RectangleLight((-2.5, 4.0, -2.5), (5.0, 0.0, 0.0), (0.0, 0.0, 5.0),
+                            (1.0, 1.0, 1.0), 2.0))
+    scene = s.compile()
+    cam = PerspectiveCamera.make(45.0, (0.0, 5.0, 15.0), (0.0, 0.0, 0.0),
+                                 (0.0, 1.0, 0.0))
+    cfg = RenderConfig(width=20, height=16, pixel_samples=2, light_samples=1,
+                       max_depth=2)
+    band = 4  # 4 row bands x 2 sample chunks
+    si_mat = jnp.asarray([[0, 1], [0, 1], [2, 3], [2, 3]], jnp.int32)
+    row0s = jnp.asarray([0, 8, 4, 12], jnp.int32)  # deliberately non-sorted
+    imgs, ovf, q = _render_path_frame(scene, cfg, cam, si_mat, row0s, band)
+    imgs = np.asarray(imgs)
+    ovf_s = q_s = 0
+    for i in range(si_mat.shape[0]):
+        img1, o1, q1 = _render_path_pass(
+            scene, cfg, cam, si_mat[i], row0s[i], band
+        )
+        np.testing.assert_array_equal(imgs[i], np.asarray(img1))
+        ovf_s += int(o1)
+        q_s += int(q1)
+    assert int(ovf) == ovf_s
+    assert int(q) == q_s
+    assert q_s > 0
