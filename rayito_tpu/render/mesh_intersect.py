@@ -312,10 +312,15 @@ def mesh_intersect_clusters(scene, mi: int, o: V3, d: V3, tmin, tmax,
     # barycentrics of the winning triangle: one packed vertex-row gather
     # ([N, 16] — scene.tri_vert_rows) + re-test
     pr_safe = jnp.maximum(prim_best, 0)
-    vrow = scene.tri_vert_rows[pr_safe]
-    wv0 = V3(vrow[:, 0], vrow[:, 1], vrow[:, 2])
-    wv1 = V3(vrow[:, 3], vrow[:, 4], vrow[:, 5])
-    wv2 = V3(vrow[:, 6], vrow[:, 7], vrow[:, 8])
+    # transpose-then-consume: column slices of a T(8,128) gather output are
+    # a per-column relayout on TPU (see trace._winner_retest); a physical
+    # Pallas transpose makes the components dense row views
+    from .pallas_traverse import transpose_rows
+
+    vrow = transpose_rows(scene.tri_vert_rows[pr_safe])
+    wv0 = V3(vrow[0], vrow[1], vrow[2])
+    wv1 = V3(vrow[3], vrow[4], vrow[5])
+    wv2 = V3(vrow[6], vrow[7], vrow[8])
     from ..ops.intersect import triangle_intersect
 
     t_fin, h_fin, beta, gamma, _ = triangle_intersect(

@@ -651,6 +651,42 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
     )(ctz, masks4, box3, soat, tri4)
 
 
+def _transpose_rows_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...].T
+
+
+def transpose_rows(x, interpret: bool | None = None):
+    """Physical [N, K] -> [K, N] relayout via a Pallas block transpose.
+
+    Why a kernel for a transpose: XLA layout assignment rewrites
+    transpose(row-gather) into a layout BITCAST ({0,1} layout on the
+    transposed shape) and pushes the real relayout into every
+    column-consuming fusion, where it runs as a per-column unpack (the
+    winner-retest fusion measured 1.28 ms per 131k-ray launch, ~13x the
+    array's one-pass read time; jax.lax.optimization_barrier does NOT
+    prevent the bitcast — verified in the profiler, fusion input
+    `f32[32,131072]{0,1} %bitcast`). A pallas_call's operand/result
+    layouts are concrete, so this forces ONE efficient in-VMEM block
+    transpose and consumers then slice dense rows.
+
+    Falls back to plain x.T off-TPU and for shapes the block grid does
+    not cover (small CLI frames; hot callers are always 2048-divisible)."""
+    n, k = x.shape
+    if interpret is None:
+        interpret = False
+        if jax.default_backend() != "tpu" or n % 1024 or k > 512:
+            return x.T
+    bt = 1024
+    return pl.pallas_call(
+        _transpose_rows_kernel,
+        grid=(n // bt,),
+        in_specs=[pl.BlockSpec((bt, k), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((k, bt), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((k, n), x.dtype),
+        interpret=interpret,
+    )(x)
+
+
 def _mask_kernel(
     soat_ref,  # [1, SB, 8] f32 rays (same layout as the traversal kernel)
     box_ref,  # [8, C_pad] f32 cluster slab rows

@@ -339,9 +339,12 @@ def _mesh_shading(scene: SceneData, t_best, prim_best, beta_best, gamma_best,
                   rot_best, overflow, meta=None):
     """Shared winner shading resolution: normals / material / shape id from
     the winning global triangle id (used by both traversal implementations).
-    ``meta``: optional pre-fetched [N, 16] meta rows for the winning ids —
-    the Pallas path rides them out of the winner re-test's fused 32-col
-    gather (tri_vm_rows) so no second row gather is paid here."""
+    ``meta``: optional pre-fetched TRANSPOSED [16, N] meta rows for the
+    winning ids — the Pallas path rides them out of the winner re-test's
+    fused 32-col gather (tri_vm_rows) so no second row gather is paid
+    here. Consumption is row-wise on the transposed layout (see
+    _winner_retest: column slices of a T(8,128) array are the expensive
+    form)."""
     valid = prim_best >= 0
     pr = jnp.maximum(prim_best, 0)
     alpha = 1.0 - beta_best - gamma_best
@@ -349,13 +352,15 @@ def _mesh_shading(scene: SceneData, t_best, prim_best, beta_best, gamma_best,
     # else normalized geometric normal (RMesh.h:308-328). All per-triangle
     # data comes from ONE packed row gather (tri_meta_rows, see scene.py).
     if meta is None:
-        meta = scene.tri_meta_rows[pr]  # [N, 16]
-    n0 = V3(meta[:, 0], meta[:, 1], meta[:, 2])
-    n1 = V3(meta[:, 3], meta[:, 4], meta[:, 5])
-    n2 = V3(meta[:, 6], meta[:, 7], meta[:, 8])
-    has_n = meta[:, 9] > 0.5
-    mesh_idx = meta[:, 11].astype(jnp.int32)
-    gnormal = V3(meta[:, 12], meta[:, 13], meta[:, 14])  # precomputed unit
+        from .pallas_traverse import transpose_rows
+
+        meta = transpose_rows(scene.tri_meta_rows[pr])
+    n0 = V3(meta[0], meta[1], meta[2])
+    n1 = V3(meta[3], meta[4], meta[5])
+    n2 = V3(meta[6], meta[7], meta[8])
+    has_n = meta[9] > 0.5
+    mesh_idx = meta[11].astype(jnp.int32)
+    gnormal = V3(meta[12], meta[13], meta[14])  # precomputed unit
     n_interp = n0 * alpha + n1 * beta_best + n2 * gamma_best
     n_local = vwhere(has_n, normalize(n_interp), gnormal)
     if rot_best is not None:
@@ -453,17 +458,27 @@ def _winner_retest(scene: SceneData, di: int, o_l: V3, d_l: V3, p_d, tmin,
     found = p_d >= 0
     g_d = _kernel_winner_global_id(scene, di, p_d)
     idx = jnp.where(found, g_d, 0)
+    # The gather fetches row-major [N, K] (row-FETCH cost dominates; one
+    # wide gather beats two narrow ones — see docstring), but CONSUMING it
+    # column-wise is the expensive part: each [:, k] slice of a T(8,128)
+    # array is a per-column relayout (one kLoop fusion unpacking 19 columns
+    # measured 1.28 ms/launch — 13x the array's one-pass read time). A
+    # PHYSICAL transpose to [K, N] (Pallas kernel — XLA rewrites a plain
+    # .T into a bitcast and keeps the per-column unpack) makes every
+    # component a dense row view.
+    from .pallas_traverse import transpose_rows
+
     if want_meta:
-        row = scene.tri_vm_rows[idx]  # [N, 32] verts | meta
-        vrow, meta = row[:, :16], row[:, 16:]
+        rowT = transpose_rows(scene.tri_vm_rows[idx])
+        vrow, meta = rowT[:16], rowT[16:]  # [16, N] each
     else:
-        vrow = scene.tri_vert_rows[idx]  # [N, 16]
+        vrow = transpose_rows(scene.tri_vert_rows[idx])
         meta = None
     t_fin, h_fin, beta, gamma, _ = triangle_intersect(
         o_l, d_l, tmin, jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,)),
-        V3(vrow[:, 0], vrow[:, 1], vrow[:, 2]),
-        V3(vrow[:, 3], vrow[:, 4], vrow[:, 5]),
-        V3(vrow[:, 6], vrow[:, 7], vrow[:, 8]),
+        V3(vrow[0], vrow[1], vrow[2]),
+        V3(vrow[3], vrow[4], vrow[5]),
+        V3(vrow[6], vrow[7], vrow[8]),
     )
     if want_meta:
         return t_fin, found & h_fin, beta, gamma, g_d, meta
@@ -507,7 +522,7 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
         gamma_best = jnp.where(closer, gamma, gamma_best)
         meta_best = (
             meta if meta_best is None
-            else jnp.where(closer[:, None], meta, meta_best)
+            else jnp.where(closer[None, :], meta, meta_best)
         )
         if scene.has_motion:
             from ..ops.quaternion import Quat
