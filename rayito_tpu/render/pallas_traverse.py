@@ -506,10 +506,12 @@ def _traverse_kernel(
         )
 
 
-# clusters per streamed tri-table chunk (multiple of 32; 512 clusters =
-# 4 MB vpu / 16 MB mxu per chunk). Tables at or below this stay fully
-# VMEM-resident (one chunk, fetched once across all ray steps).
-TRI_CHUNK = int(os.environ.get("RAYITO_TRI_CHUNK", "512"))
+# clusters per streamed tri-table chunk (multiple of 32; 480 clusters =
+# 3.75 MB vpu per chunk, double-buffered while streaming). Tables at or
+# below this stay fully VMEM-resident (one chunk, fetched once across all
+# ray steps). 480 (not 512) keeps the streamed config + the co-scheduled
+# row-transpose kernel under the 16 MB scoped-VMEM limit at WIDE=4.
+TRI_CHUNK = int(os.environ.get("RAYITO_TRI_CHUNK", "480"))
 if TRI_CHUNK <= 0 or TRI_CHUNK % 32:
     raise ValueError(f"RAYITO_TRI_CHUNK={TRI_CHUNK!r}: must be a positive "
                      "multiple of 32 (mask words are 32 clusters each)")
@@ -674,9 +676,12 @@ def transpose_rows(x, interpret: bool | None = None):
     n, k = x.shape
     if interpret is None:
         interpret = False
-        if jax.default_backend() != "tpu" or n % 1024 or k > 512:
+        if jax.default_backend() != "tpu" or n % 512 or k > 512:
             return x.T
-    bt = 1024
+    # modest block: the transpose can be co-scheduled with the traversal
+    # kernel, whose streamed config sits near the 16 MB scoped-VMEM limit
+    # (a 1024-row block tipped the 245k-tri scene 76 KB over)
+    bt = 512
     return pl.pallas_call(
         _transpose_rows_kernel,
         grid=(n // bt,),

@@ -3,7 +3,7 @@
 Round-2's 12 MB ktab_fits cap silently dropped such scenes to the XLA
 cluster pipeline (VERDICT r2 item 4); the streamed cluster-chunk kernel
 removed the cap. This renders 5 shifted bumpy.obj instances (~5x59k
-triangles, ~2300 clusters -> 5+ chunks of TRI_CHUNK=512) merged into ONE
+triangles, ~2300 clusters -> streamed chunks of TRI_CHUNK clusters) merged into ONE
 world-space traversal domain and reports Mrays/s.
 
 Run on TPU:  python tools/bench_big_scene.py
@@ -23,6 +23,7 @@ from rayito_tpu.models.camera import PerspectiveCamera  # noqa: E402
 from rayito_tpu.models.demo import STAGE6_CAMERA  # noqa: E402
 from rayito_tpu.models.obj import load_obj  # noqa: E402
 from rayito_tpu.render.pathtracer import _render_path_pass  # noqa: E402
+from rayito_tpu.render.pallas_traverse import TRI_CHUNK  # noqa: E402
 from rayito_tpu.utils.config import RenderConfig  # noqa: E402
 
 
@@ -53,7 +54,7 @@ def main():
     scene = b.compile()
     n_cl = scene.ktab_tri[0].shape[0]
     print(f"tris={scene.n_tris} clusters={n_cl} domains={len(scene.ktab_xf)} "
-          f"traversal={scene.traversal} (streamed: {n_cl} > TRI_CHUNK=512)",
+          f"traversal={scene.traversal} (streamed: {n_cl} > TRI_CHUNK={TRI_CHUNK})",
           file=sys.stderr)
     assert scene.n_tris > 200_000 and scene.traversal in ("pallas", "xla")
 
