@@ -87,6 +87,19 @@ _PRUNE_MODE = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
 WIDE = int(os.environ.get("RAYITO_TRAVERSE_WIDE", "4"))
 if not 1 <= WIDE <= 8:
     raise ValueError(f"RAYITO_TRAVERSE_WIDE={WIDE!r}: must be in 1..8")
+# sub-block MT: candidate masks at SUB-ray granularity (SUB divides B);
+# the lane-carried scan then runs NSUB independent [SUB, KTRI] MT chains
+# in lockstep — same vector footprint per iteration as one [B, KTRI]
+# block, but the iteration count per ray-block drops from |union(B)| to
+# max over subs of |union(SUB)| (offline on stage-6: 0.62-0.65x at
+# SUB=32, tools/subblock_mt_check.py). 0 = off (single B-wide union).
+SUB = int(os.environ.get("RAYITO_TRAVERSE_SUB", "0"))
+if SUB and (B % SUB or SUB % 8):
+    raise ValueError(
+        f"RAYITO_TRAVERSE_SUB={SUB!r}: must divide B={B} and be a "
+        "multiple of 8 (sublane granularity)"
+    )
+NSUB = (B // SUB) if SUB else 1
 
 
 def _prune_for(any_hit: bool) -> bool:
@@ -128,7 +141,8 @@ def _pack_key(t_f32, lane):
 
 def _traverse_kernel(
     ctz_ref,  # scalar-prefetch [32] i32 de Bruijn ctz table
-    mask_ref,  # [1, 1, RB, nw] i32 cluster bit-masks for THIS chunk, SMEM
+    mask_ref,  # [1, 1, RB*NSUB, nw] i32 cluster bit-masks for THIS chunk
+    #            (NSUB sub-rows per ray-block), SMEM
     box_ref,  # [1, chunk, 8] f32 cluster AABBs (min.xyz/max.xyz/pad), SMEM
     soat_ref,  # [1, SB, 8] f32: ox oy oz dx dy dz tmax pad, rays on sublanes
     tri_ref,  # [1, chunk, 16, KTRI] f32 triangles ('vpu') |
@@ -137,8 +151,8 @@ def _traverse_kernel(
     #           chunk of the cluster table
     tout_ref, pout_ref,  # [1, SB, 1]
     kbest_ref, cbest_ref,  # [SB, 1] i32 scratch (persist across chunks)
-    clist_ref=None,  # [n_words*32] i32 SMEM scratch: per-ray-block cluster
-    #                  worklist (lane-carried path only; rebuilt per block)
+    clist_ref=None,  # [NSUB, n_words*32] i32 SMEM scratch: per-(block, sub)
+    #                  cluster worklists (lane paths only; rebuilt per block)
     p_ref=None,  # [SB, 16] f32 ray-feature scratch ('mxu' only)
     *, n_words: int, tmin: float, mt_mode: str = "vpu", n_chunks: int = 1,
     chunk: int = 0, prune: bool = True, any_hit: bool = False,
@@ -170,7 +184,6 @@ def _traverse_kernel(
     vpu mode only: every frozen hit passed the exact in-kernel MT with
     tmax pre-rounded DOWN, so a frozen lane is truly occluded."""
     k_id = pl.program_id(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, KTRI), 1)
 
     @pl.when(k_id == 0)
     def _init():
@@ -204,11 +217,6 @@ def _traverse_kernel(
         # regardless of RB (a static python loop multiplied Mosaic compile
         # time by RB — >9 min at RB=16)
         lo = r * B
-        rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
-        ox, oy, oz = rd(0), rd(1), rd(2)
-        dx, dy, dz = rd(3), rd(4), rd(5)
-        if prune:  # hoisted out of the bit-scan: one set per ray-block
-            ivx, ivy, ivz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
         # The running best rides the LOOP CARRY as [B, 1] values (vregs),
         # not per-MT scratch slices: a dynamic-slice read/modify/write of
@@ -218,107 +226,124 @@ def _traverse_kernel(
         # at entry, written at exit — which is what lets the state persist
         # across streamed chunks.
 
-        def mt_key_mxu(c, tb):
-            """MXU variant (VERDICT r2 item 1): ONE [B,16]x[16,512] matmul
-            against the cluster's precomputed Plücker/plane weight block
-            yields w0 | w1 | w2 | tnum (128 lanes each); the epilogue is
-            sign-agreement + t = tnum/(w0+w1+w2) + the shared key pack.
-            Precision HIGHEST: f32 operands on the MXU (bf16 passes
-            underneath); DEFAULT (1-pass bf16, ~2^-8 relative)
-            misclassifies edge-adjacent rays far beyond the re-test's
-            tolerance.
+        def make_mt_key(lo2, sz):
+            """Triangle-test-key closure for rays [lo2, lo2+sz): sz = B for
+            the block-wide paths, SUB for the sub-block lockstep path.
 
-            ``tb is None`` (lane-carried path): the explicit t <= tb test
+            ``tb is None`` (lane-carried paths): the explicit t <= tb test
             is DROPPED — the packed-key min against the tmax-initialized
             carry enforces the identical acceptance window (pack_key is
             monotone in t and kb0 = pack(tmax), so key < carry accepts
             exactly the keys t <= tb would, same 2^-17 bucket slack), and
             out-of-range t (inf/nan from den == 0, t beyond 3e38) packs to
-            keys that lose the min or fail t >= tmin. Saves materializing
-            tb ([B, KTRI] bitcast+or) plus a [B, KTRI] compare+and per
-            cluster; end-to-end NEUTRAL on idle-host A/B (9.84 vs 9.87 —
-            the block is latency-bound, see BENCH_NOTES), kept for the
-            strictly smaller op count."""
-            w = tri_ref[0, c]  # [16, 4*KTRI] VMEM block
-            z = jax.lax.dot_general(
-                p_ref[pl.ds(lo, B), :], w,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [B, 4*KTRI]
-            w0 = z[:, 0:KTRI]
-            w1 = z[:, KTRI : 2 * KTRI]
-            w2 = z[:, 2 * KTRI : 3 * KTRI]
-            tn = z[:, 3 * KTRI : 4 * KTRI]
-            den = w0 + w1 + w2
-            inside = (
-                (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
-            ) | ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0))
-            t = tn / den  # den == 0 -> inf/nan -> range compares fail
-            ok = inside & (t >= tmin)
-            if tb is not None:
-                ok &= t <= tb
-            return jnp.where(ok, _pack_key(t, lane), _IMAX)
+            keys that lose the min or fail t >= tmin."""
+            rd = lambda k: soat_ref[0, pl.ds(lo2, sz), k : k + 1]
+            ox, oy, oz = rd(0), rd(1), rd(2)
+            dx, dy, dz = rd(3), rd(4), rd(5)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (sz, KTRI), 1)
 
-        def mt_key_vpu(c, tb):
-            rows = tri_ref[0, c]  # [16, 128] VMEM block
-            v0x, v0y, v0z = rows[0:1], rows[1:2], rows[2:3]
-            e1x, e1y, e1z = rows[3:4], rows[4:5], rows[5:6]
-            e2x, e2y, e2z = rows[6:7], rows[7:8], rows[8:9]
-            # classic Möller-Trumbore over [B, 128]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = 1.0 / det
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv
-            # det==0 -> inv inf -> u/v/t inf or nan -> comparisons fail
-            ok = (
-                (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t >= tmin)
+            def mt_key_mxu(c, tb):
+                """MXU variant (VERDICT r2 item 1): ONE [sz,16]x[16,512]
+                matmul against the cluster's precomputed Plücker/plane
+                weight block yields w0 | w1 | w2 | tnum (128 lanes each);
+                the epilogue is sign-agreement + t = tnum/(w0+w1+w2) + the
+                shared key pack. Precision HIGHEST: f32 operands on the MXU
+                (bf16 passes underneath); DEFAULT (1-pass bf16, ~2^-8
+                relative) misclassifies edge-adjacent rays far beyond the
+                re-test's tolerance."""
+                w = tri_ref[0, c]  # [16, 4*KTRI] VMEM block
+                z = jax.lax.dot_general(
+                    p_ref[pl.ds(lo2, sz), :], w,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [sz, 4*KTRI]
+                w0 = z[:, 0:KTRI]
+                w1 = z[:, KTRI : 2 * KTRI]
+                w2 = z[:, 2 * KTRI : 3 * KTRI]
+                tn = z[:, 3 * KTRI : 4 * KTRI]
+                den = w0 + w1 + w2
+                inside = (
+                    (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+                ) | ((w0 <= 0.0) & (w1 <= 0.0) & (w2 <= 0.0))
+                t = tn / den  # den == 0 -> inf/nan -> range compares fail
+                ok = inside & (t >= tmin)
+                if tb is not None:
+                    ok &= t <= tb
+                return jnp.where(ok, _pack_key(t, lane), _IMAX)
+
+            def mt_key_vpu(c, tb):
+                rows = tri_ref[0, c]  # [16, 128] VMEM block
+                v0x, v0y, v0z = rows[0:1], rows[1:2], rows[2:3]
+                e1x, e1y, e1z = rows[3:4], rows[4:5], rows[5:6]
+                e2x, e2y, e2z = rows[6:7], rows[7:8], rows[8:9]
+                # classic Möller-Trumbore over [sz, 128]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv = 1.0 / det
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                # det==0 -> inv inf -> u/v/t inf or nan -> compares fail
+                ok = (
+                    (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= tmin)
+                )
+                if tb is not None:  # None = bound via key min (docstring)
+                    ok &= t <= tb
+                return jnp.where(ok, _pack_key(t, lane), _IMAX)
+
+            def mt_key_bw(c, tb):
+                """Baldwin–Weber rows (accel/kernel_tables.build_bw_rows):
+                plane-equation t + precomputed affine barycentrics — ~0.6x
+                the vector ops of Möller-Trumbore (no per-pair cross
+                products). den == 0 (parallel / degenerate) -> t = ±inf/nan
+                -> range compares fail, as in the MT det == 0 path."""
+                rows = tri_ref[0, c]  # [16, 128] VMEM block
+                nx, ny, nz, dpl = rows[0:1], rows[1:2], rows[2:3], rows[3:4]
+                rux, ruy, ruz, rud = (
+                    rows[4:5], rows[5:6], rows[6:7], rows[7:8]
+                )
+                rvx, rvy, rvz, rvd = (
+                    rows[8:9], rows[9:10], rows[10:11], rows[11:12]
+                )
+                den = nx * dx + ny * dy + nz * dz
+                t = (dpl - (nx * ox + ny * oy + nz * oz)) / den
+                hx = ox + t * dx
+                hy = oy + t * dy
+                hz = oz + t * dz
+                u = rux * hx + ruy * hy + ruz * hz + rud
+                v = rvx * hx + rvy * hy + rvz * hz + rvd
+                ok = (
+                    (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= tmin)
+                )
+                if tb is not None:  # None = bound via key min (docstring)
+                    ok &= t <= tb
+                return jnp.where(ok, _pack_key(t, lane), _IMAX)
+
+            return {"mxu": mt_key_mxu, "bw": mt_key_bw}.get(
+                mt_mode, mt_key_vpu
             )
-            if tb is not None:  # see mt_key_mxu: None = bound via key min
-                ok &= t <= tb
-            return jnp.where(ok, _pack_key(t, lane), _IMAX)
 
-        def mt_key_bw(c, tb):
-            """Baldwin–Weber rows (accel/kernel_tables.build_bw_rows):
-            plane-equation t + precomputed affine barycentrics — ~0.6x the
-            vector ops of Möller-Trumbore (no per-pair cross products).
-            den == 0 (parallel / degenerate) -> t = ±inf/nan -> range
-            compares fail, as in the MT det == 0 path."""
-            rows = tri_ref[0, c]  # [16, 128] VMEM block
-            nx, ny, nz, dpl = rows[0:1], rows[1:2], rows[2:3], rows[3:4]
-            rux, ruy, ruz, rud = rows[4:5], rows[5:6], rows[6:7], rows[7:8]
-            rvx, rvy, rvz, rvd = rows[8:9], rows[9:10], rows[10:11], rows[11:12]
-            den = nx * dx + ny * dy + nz * dz
-            t = (dpl - (nx * ox + ny * oy + nz * oz)) / den
-            hx = ox + t * dx
-            hy = oy + t * dy
-            hz = oz + t * dz
-            u = rux * hx + ruy * hy + ruz * hz + rud
-            v = rvx * hx + rvy * hy + rvz * hz + rvd
-            ok = (
-                (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t >= tmin)
-            )
-            if tb is not None:  # see mt_key_mxu: None = bound via key min
-                ok &= t <= tb
-            return jnp.where(ok, _pack_key(t, lane), _IMAX)
-
-        mt_key = {"mxu": mt_key_mxu, "bw": mt_key_bw}.get(mt_mode, mt_key_vpu)
+        if prune or NSUB == 1:
+            mt_key = make_mt_key(lo, B)
+        if prune:  # hoisted out of the bit-scan: one set per ray-block
+            rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
+            ox, oy, oz = rd(0), rd(1), rd(2)
+            ivx, ivy, ivz = 1.0 / rd(3), 1.0 / rd(4), 1.0 / rd(5)
 
         def mt(c, kb, cb):
             """[B,1]-carried update (prune path): per-cluster cross-lane
@@ -389,56 +414,69 @@ def _traverse_kernel(
                 )
                 return w, bits & (bits - 1), kb, cb
 
+            bits0 = mask_ref[0, 0, NSUB * r, w]
+            for s in range(1, NSUB):  # union of the block's sub-rows
+                bits0 |= mask_ref[0, 0, NSUB * r + s, w]
             _, _, kb, cb = jax.lax.while_loop(
-                has_bits, next_bit, (w, mask_ref[0, 0, r, w], kb, cb)
+                has_bits, next_bit, (w, bits0, kb, cb)
             )
             return kb, cb
 
         kb0 = kbest_ref[pl.ds(lo, B), :]
         cb0 = cbest_ref[pl.ds(lo, B), :]
-        if prune:
-            kb, cb = jax.lax.fori_loop(0, n_words, scan_word, (kb0, cb0))
-        else:
-            # Lane-carried 2-WIDE path (non-prune default). The running
-            # best rides as PER-LANE [B, KTRI] mins — one compare + two
-            # selects per cluster instead of a 128-lane min-reduce — and a
-            # single reduce per ray-block recovers the winner. Bit-identical
-            # to the sequential reduced form: strict `<` keeps the first
-            # (lowest-cluster) hit per lane, packed keys are lane-unique,
-            # and `t <= tb` is implied by the key min (see mt_key_mxu).
-            #
-            # WIDE independent clusters issue per loop iteration: the MT
-            # block is LATENCY-bound (BW at 0.6x ops and the tb-drop both
-            # measured ~0 end-to-end delta), so grouping exposes ILP the
-            # serial one-cluster-per-iteration chain cannot. A scalar
-            # pre-pass flattens this block's set mask bits into an SMEM
-            # worklist (ascending cluster order) so grouping is decoupled
-            # from word boundaries; the cnt % WIDE tail runs 1-wide (no
-            # padding blocks).
+
+        def collect_sub(s, row):
+            """Flatten row ``row``'s set mask bits into clist_ref[s]
+            (ascending cluster order); returns the count. clist_ref[s, 0]
+            is pre-zeroed so an EMPTY list's dup reads test cluster 0 —
+            harmless: any genuine hit in cluster 0 implies the ray
+            slab-hits it, which would have set the mask bit (pinned by the
+            brute-force parity suite)."""
+            clist_ref[s, 0] = 0
+
             def collect_word(w, cnt):
-                def nb(s):
-                    bits, cnt = s
+                def nb(st):
+                    bits, cnt = st
                     low = bits & -bits
                     idx = jax.lax.shift_right_logical(
                         low * jnp.int32(_DEBRUIJN_MUL), 27
                     )
-                    clist_ref[cnt] = w * 32 + ctz_ref[idx]
+                    clist_ref[s, cnt] = w * 32 + ctz_ref[idx]
                     return bits & (bits - 1), cnt + 1
 
                 _, cnt = jax.lax.while_loop(
-                    lambda s: s[0] != 0, nb, (mask_ref[0, 0, r, w], cnt)
+                    lambda st: st[0] != 0, nb,
+                    (mask_ref[0, 0, row, w], cnt),
                 )
                 return cnt
 
-            cnt = jax.lax.fori_loop(
-                0, n_words, collect_word, jnp.int32(0)
-            )
+            return jax.lax.fori_loop(0, n_words, collect_word, jnp.int32(0))
+
+        if prune:
+            kb, cb = jax.lax.fori_loop(0, n_words, scan_word, (kb0, cb0))
+        elif NSUB == 1:
+            # Lane-carried WIDE path. The running best rides as PER-LANE
+            # [B, KTRI] mins — one compare + two selects per cluster
+            # instead of a 128-lane min-reduce — and a single reduce per
+            # ray-block recovers the winner. Bit-identical to the
+            # sequential reduced form: strict `<` keeps the first
+            # (lowest-cluster) hit per lane, packed keys are lane-unique,
+            # and `t <= tb` is implied by the key min (see make_mt_key).
+            #
+            # WIDE independent clusters issue per loop iteration: the MT
+            # block is LATENCY-bound (BW at 0.6x ops and the tb-drop both
+            # measured ~0 end-to-end delta), so grouping exposes ILP the
+            # serial one-cluster-per-iteration chain cannot. The scalar
+            # pre-pass (collect_sub) flattens the mask bits into an SMEM
+            # worklist so grouping is decoupled from word boundaries; the
+            # cnt % WIDE tail runs 1-wide (no padding blocks).
+            cnt = collect_sub(0, r)
 
             def wide_step(s):
                 i, kbl, cbl = s
                 # WIDE independent mt_key chains: Mosaic interleaves their
                 # issue slots (the block is latency-bound, not issue-bound)
-                cs = [clist_ref[i + j] for j in range(WIDE)]
+                cs = [clist_ref[0, i + j] for j in range(WIDE)]
                 keys = [mt_key(c, None) for c in cs]
                 # fold ascending — strict < keeps the EARLIEST (lowest
                 # cluster id) on key ties, matching the sequential scan
@@ -456,12 +494,12 @@ def _traverse_kernel(
 
             def one_step(s):  # tail: cnt % WIDE clusters, 1-wide
                 i, kbl, cbl = s
-                key = mt_key(clist_ref[i], None)
+                key = mt_key(clist_ref[0, i], None)
                 better = key < kbl
                 return (
                     i + 1,
                     jnp.where(better, key, kbl),
-                    jnp.where(better, c_base + clist_ref[i], cbl),
+                    jnp.where(better, c_base + clist_ref[0, i], cbl),
                 )
 
             # init every column's bound at the block's current best;
@@ -488,6 +526,68 @@ def _traverse_kernel(
             )
             kb = jnp.where(imp, kmin, kb0)
             cb = jnp.where(imp, cwin, cb0)
+        else:
+            # SUB-BLOCK LOCKSTEP path: NSUB independent [SUB, KTRI] MT
+            # chains per iteration — same vector footprint per iteration
+            # as one [B, KTRI] block, but each sub only walks ITS OWN
+            # (tighter) candidate list, so the iteration count per block
+            # drops from |union(B)| to max_s |union(SUB_s)| (measured
+            # 0.62-0.65x on stage-6, tools/subblock_mt_check.py). Exhausted
+            # subs re-test their LAST cluster (idempotent under strict <).
+            # Bit-identity argument: each ray's own slab-hit clusters are
+            # a subset of its sub's list, and extra clusters tested via
+            # clamping can only re-find hits already in the ray's own list
+            # (a genuine hit implies a slab hit implies a mask bit), so
+            # the per-ray accept set — and the (t, lane, cluster) min over
+            # it — is unchanged.
+            cnts = [collect_sub(s, NSUB * r + s) for s in range(NSUB)]
+            mxcnt = cnts[0]
+            for s in range(1, NSUB):
+                mxcnt = jnp.maximum(mxcnt, cnts[s])
+            mt_keys = [make_mt_key(lo + s * SUB, SUB) for s in range(NSUB)]
+            kb0s = [kb0[s * SUB : (s + 1) * SUB] for s in range(NSUB)]
+
+            def lock_step(st):
+                j = st[0]
+                kbls, cbls = list(st[1]), list(st[2])
+                for s in range(NSUB):
+                    i = jnp.maximum(jnp.minimum(j, cnts[s] - 1), 0)
+                    c = clist_ref[s, i]
+                    key = mt_keys[s](c, None)
+                    better = key < kbls[s]
+                    kbls[s] = jnp.where(better, key, kbls[s])
+                    cbls[s] = jnp.where(better, c_base + c, cbls[s])
+                return (j + 1, tuple(kbls), tuple(cbls))
+
+            _, kbls, cbls = jax.lax.while_loop(
+                lambda st: st[0] < mxcnt,
+                lock_step,
+                (
+                    jnp.int32(0),
+                    tuple(
+                        jnp.broadcast_to(kb0s[s], (SUB, KTRI))
+                        for s in range(NSUB)
+                    ),
+                    tuple(
+                        jnp.full((SUB, KTRI), _IMAX, jnp.int32)
+                        for s in range(NSUB)
+                    ),
+                ),
+            )
+            kparts, cparts = [], []
+            for s in range(NSUB):
+                kmin = jnp.min(kbls[s], axis=1, keepdims=True)
+                imp = kmin < kb0s[s]
+                cwin = jnp.min(
+                    jnp.where(kbls[s] == kmin, cbls[s], _IMAX),
+                    axis=1, keepdims=True,
+                )
+                kparts.append(jnp.where(imp, kmin, kb0s[s]))
+                cparts.append(
+                    jnp.where(imp, cwin, cb0[s * SUB : (s + 1) * SUB])
+                )
+            kb = jnp.concatenate(kparts, axis=0)
+            cb = jnp.concatenate(cparts, axis=0)
         kbest_ref[pl.ds(lo, B), :] = kb
         cbest_ref[pl.ds(lo, B), :] = cb
         return carry
@@ -544,11 +644,12 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
     # wider tables (mxu weights are 4x KTRI lanes) stream in proportionally
     # smaller chunks so the per-chunk VMEM footprint stays constant
     eff_chunk = max(32, (TRI_CHUNK * KTRI // lanes) // 32 * 32)
+    rbm = RB * NSUB  # mask rows per grid step (NSUB sub-rows per block)
     if c <= eff_chunk:
         n_chunks, chunk = 1, max(c, 1)
         nw = masks.shape[1]
         tri4 = tri.reshape(1, chunk, 16, lanes)
-        masks4 = masks.reshape(n_steps, 1, RB, nw)
+        masks4 = masks.reshape(n_steps, 1, rbm, nw)
     else:
         chunk = eff_chunk
         n_chunks = -(-c // chunk)
@@ -568,10 +669,10 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
             )
         elif mw > total_w:  # bits past the real cluster count are never set
             masks = masks[:, :total_w]
-        # [n_steps, n_chunks, RB, nw]: the SMEM block must cover the FULL
-        # trailing (RB, nw) dims (Mosaic's last-two-dims rule), so the
+        # [n_steps, n_chunks, rbm, nw]: the SMEM block must cover the FULL
+        # trailing (rbm, nw) dims (Mosaic's last-two-dims rule), so the
         # chunk axis is a leading dim selected by the index map
-        masks4 = masks.reshape(n_steps, RB, n_chunks, nw).transpose(
+        masks4 = masks.reshape(n_steps, rbm, n_chunks, nw).transpose(
             0, 2, 1, 3
         )
 
@@ -603,9 +704,9 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
     scratch = [
         pltpu.VMEM((SB, 1), jnp.int32),  # kbest (packed t|lane), per step
         pltpu.VMEM((SB, 1), jnp.int32),  # cbest (global cluster id)
-        # per-ray-block cluster worklist for the 2-wide lane-carried scan
-        # (chunk-local ids, so nw*32 entries bound it; <= 2 KB of SMEM)
-        pltpu.SMEM((nw * 32,), jnp.int32),
+        # per-(ray-block, sub) cluster worklists for the lane-carried scan
+        # (chunk-local ids, so nw*32 entries bound each; <= 8 KB of SMEM)
+        pltpu.SMEM((NSUB, nw * 32), jnp.int32),
     ]
     if mt_mode == "mxu":
         scratch.append(pltpu.VMEM((SB, 16), jnp.float32))  # ray features P
@@ -614,7 +715,7 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
         grid=(n_steps, n_chunks),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, RB, nw), lambda i, k, z: (i, k, 0, 0),
+                (1, 1, rbm, nw), lambda i, k, z: (i, k, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
@@ -735,11 +836,23 @@ def _mask_kernel(
         hit = (jnp.maximum(near, tmin) <= jnp.minimum(far, tmax)) & (
             far >= tmin
         )
-        any_hit = jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True)
+        hf = hit.astype(jnp.float32)
+        if NSUB == 1:
+            any_hit = jnp.max(hf, axis=0, keepdims=True)
+        else:
+            # per-SUB-ray-group any-hit rows (static slices of the one
+            # shared [B, C_pad] slab result — the slab work is unchanged)
+            any_hit = jnp.concatenate(
+                [
+                    jnp.max(hf[s * SUB : (s + 1) * SUB], 0, keepdims=True)
+                    for s in range(NSUB)
+                ],
+                axis=0,
+            )  # [NSUB, C_pad]
         halves = jnp.dot(
             any_hit, pack_ref[...], preferred_element_type=jnp.float32
-        )  # [1, 64]
-        out_ref[0, pl.ds(r, 1), :] = halves
+        )  # [NSUB, 64]
+        out_ref[0, pl.ds(r * NSUB, NSUB), :] = halves
         return carry
 
     jax.lax.fori_loop(0, RB, ray_block, 0)
@@ -780,20 +893,23 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
             pl.BlockSpec((c_pad, 64), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RB, 64), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, RB * NSUB, 64), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps, RB, 64), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_steps, RB * NSUB, 64), jnp.float32
+        ),
         interpret=interpret,
     )(soat, box, wts)
     lo = halves[..., 0:32].astype(jnp.int32)
     hi = halves[..., 32:64].astype(jnp.int32)
-    words = (lo | (hi << 16)).reshape(n_steps * RB, 32)
+    words = (lo | (hi << 16)).reshape(n_steps * RB * NSUB, 32)
     return words[:, :n_words]
 
 
 def _block_masks(ox, oy, oz, ix, iy, iz, tmin, tmax, cl_box, n_blocks):
     """XLA-side candidate selection: fused [N, C] slab test reduced to
-    per-B-ray-block any-hit masks, bit-packed to [n_blocks, C/32] i32."""
+    per-group any-hit masks, bit-packed to [n_blocks, C/32] i32. The group
+    size is N / n_blocks (B normally; B/NSUB in sub-block mode)."""
     box = jnp.asarray(cl_box)
     c_pad = box.shape[1]
     r = lambda a: a[:, None]
@@ -814,7 +930,7 @@ def _block_masks(ox, oy, oz, ix, iy, iz, tmin, tmax, cl_box, n_blocks):
     hit = (jnp.maximum(near, tmin) <= jnp.minimum(far, r(tmax))) & (
         far >= tmin
     )
-    blk_any = jnp.any(hit.reshape(n_blocks, B, c_pad), axis=1)
+    blk_any = jnp.any(hit.reshape(n_blocks, -1, c_pad), axis=1)
     n_words = -(-c_pad // 32)
     pad = n_words * 32 - c_pad
     if pad:
@@ -995,7 +1111,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         masks = _block_masks(
             col(0), col(1), col(2),
             1.0 / col(3), 1.0 / col(4), 1.0 / col(5),
-            float(tmin), col(6), tables.cl_box, n_steps * RB,
+            float(tmin), col(6), tables.cl_box, n_steps * RB * NSUB,
         )
 
     t_bn, p_bn = _traverse_blocks(
