@@ -534,12 +534,18 @@ def _traverse_kernel(
             # drops from |union(B)| to max_s |union(SUB_s)| (measured
             # 0.62-0.65x on stage-6, tools/subblock_mt_check.py). Exhausted
             # subs re-test their LAST cluster (idempotent under strict <).
-            # Bit-identity argument: each ray's own slab-hit clusters are
+            # Equivalence argument: each ray's own slab-hit clusters are
             # a subset of its sub's list, and extra clusters tested via
             # clamping can only re-find hits already in the ray's own list
             # (a genuine hit implies a slab hit implies a mask bit), so
             # the per-ray accept set — and the (t, lane, cluster) min over
-            # it — is unchanged.
+            # it — is unchanged. Caveat (shared with the whole mask
+            # design, which has no slab rounding slack): "genuine hit =>
+            # own f32 slab hit" can fail by ulps on grazing rays; at
+            # NSUB=1 a neighbor's slab hit may mask the false negative,
+            # at SUB granularity only the 32-ray sub can — so SUB mode is
+            # equivalent-in-practice (parity suite green), not formally
+            # bit-identical on such edge rays.
             cnts = [collect_sub(s, NSUB * r + s) for s in range(NSUB)]
             mxcnt = cnts[0]
             for s in range(1, NSUB):
@@ -773,12 +779,16 @@ def transpose_rows(x, interpret: bool | None = None):
     transpose and consumers then slice dense rows.
 
     Falls back to plain x.T off-TPU and for shapes the block grid does
-    not cover (small CLI frames; hot callers are always 2048-divisible)."""
+    not cover (small CLI frames; hot callers are always 2048-divisible) —
+    the shape guard applies in interpret mode too (a non-divisible n
+    would leave trailing output columns unwritten)."""
     n, k = x.shape
+    if n % 512 or k > 512 or (
+        interpret is None and jax.default_backend() != "tpu"
+    ):
+        return x.T
     if interpret is None:
         interpret = False
-        if jax.default_backend() != "tpu" or n % 512 or k > 512:
-            return x.T
     # modest block: the transpose can be co-scheduled with the traversal
     # kernel, whose streamed config sits near the 16 MB scoped-VMEM limit
     # (a 1024-row block tipped the 245k-tri scene 76 KB over)

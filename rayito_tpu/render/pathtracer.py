@@ -471,6 +471,47 @@ def _render_path_frame(scene: SceneData, config: RenderConfig,
     return imgs, overflow, queries
 
 
+def _dispatch_grid(scene, config, camera, si_mat, row0s, rows, out_rows):
+    """Dispatch a launch grid through _render_path_frame in BOUNDED groups.
+
+    The scan materializes every launch's [out_rows, W, 3] image at once,
+    so an unbounded grid would trade the per-launch HBM headroom the
+    chunking exists to protect (a 1080p 256-spp render would scan-allocate
+    multiple GB); and its on-device int32 query counter can wrap across
+    thousands of launches. Groups are capped at ~64 MB of scan output AND
+    ~2^30 worst-case counted queries, with per-group totals accumulated in
+    Python ints. Returns (imgs np [L, out_rows, W, 3], overflow, queries)."""
+    n_launch = si_mat.shape[0]
+    launch_bytes = max(1, out_rows * config.width * 3 * 4)
+    # worst-case issued queries per launch: every lane alive every bounce,
+    # one trace + two NEE-side queries per light sample
+    q_est = max(
+        1,
+        config.max_rays_per_pass
+        * config.max_depth
+        * (1 + 2 * config.light_samples * config.light_samples),
+    )
+    g = int(max(1, min(n_launch,
+                       (64 << 20) // launch_bytes,
+                       (1 << 30) // q_est)))
+    imgs = []
+    overflow = 0
+    queries = 0
+    for i0 in range(0, n_launch, g):
+        im, o1, q1 = _render_path_frame(
+            scene, config, camera, si_mat[i0 : i0 + g],
+            row0s[i0 : i0 + g], rows,
+        )
+        imgs.append(np.asarray(im))
+        overflow += int(o1)
+        queries += int(q1)
+    return (
+        np.concatenate(imgs, axis=0) if len(imgs) > 1 else imgs[0],
+        overflow,
+        queries,
+    )
+
+
 def render_path_with_stats(scene: SceneData, config: RenderConfig,
                            camera: PerspectiveCamera):
     """Stage-5/6/7 path-traced render (box-filtered mean of spp² samples).
@@ -479,9 +520,10 @@ def render_path_with_stats(scene: SceneData, config: RenderConfig,
     config.max_rays_per_pass lanes per device launch — over sample indices
     first, then over pixel-row bands when a single sample still exceeds the
     budget (large frames: keeps the traversal's [N, K] intermediates inside
-    comfortable HBM headroom). All chunks of a frame run as ONE device
-    dispatch (_render_path_frame); accumulation order on the host matches
-    the historical launch-by-launch loop bit for bit."""
+    comfortable HBM headroom). A frame's chunks run as FEW device
+    dispatches (_dispatch_grid groups them under fixed memory/counter
+    bounds — one dispatch for typical frames); accumulation order on the
+    host matches the historical launch-by-launch loop bit for bit."""
     spp_total = config.pixel_samples * config.pixel_samples
     w, h = config.width, config.height
     n_pix = w * h
@@ -495,14 +537,14 @@ def render_path_with_stats(scene: SceneData, config: RenderConfig,
             si_mat = jnp.arange(n_full * chunk, dtype=jnp.int32).reshape(
                 n_full, chunk
             )
-            imgs, ovf, q = _render_path_frame(
+            imgs, ovf, q = _dispatch_grid(
                 scene, config, camera, si_mat,
-                jnp.zeros((n_full,), jnp.int32),
+                jnp.zeros((n_full,), jnp.int32), 0, h,
             )
-            for img in np.asarray(imgs):
+            for img in imgs:
                 acc += img
-            overflow += int(ovf)
-            queries += int(q)
+            overflow += ovf
+            queries += q
         if n_full * chunk < spp_total:  # ragged tail chunk, one launch
             si = jnp.arange(n_full * chunk, spp_total, dtype=jnp.int32)
             img, ovf, q = _render_path_pass(scene, config, camera, si)
@@ -520,18 +562,17 @@ def render_path_with_stats(scene: SceneData, config: RenderConfig,
             jnp.arange(spp_total, dtype=jnp.int32)[:, None], n_bands, axis=0
         )  # [(spp, band) grid, 1] — sample-major, matching the old loop
         row0s = jnp.asarray(r0s * spp_total, jnp.int32)
-        imgs, ovf, q = _render_path_frame(
-            scene, config, camera, si_mat, row0s, band
+        imgs, ovf, q = _dispatch_grid(
+            scene, config, camera, si_mat, row0s, band, band
         )
-        imgs = np.asarray(imgs)
         for s0 in range(spp_total):
             for b in range(n_bands):
                 r0 = r0s[b]
                 done = b * band  # rows already accumulated by earlier bands
                 skip = max(0, done - r0)  # overlap of a shifted last band
                 acc[r0 + skip : r0 + band] += imgs[s0 * n_bands + b][skip:]
-        overflow += int(ovf)
-        queries += int(q)
+        overflow += ovf
+        queries += q
     return acc / np.float32(spp_total), overflow, queries
 
 
