@@ -471,7 +471,8 @@ def _render_path_frame(scene: SceneData, config: RenderConfig,
     return imgs, overflow, queries
 
 
-def _dispatch_grid(scene, config, camera, si_mat, row0s, rows, out_rows):
+def _dispatch_grid(scene, config, camera, si_mat, row0s, rows, out_rows,
+                   group=None):
     """Dispatch a launch grid through _render_path_frame in BOUNDED groups.
 
     The scan materializes every launch's [out_rows, W, 3] image at once,
@@ -491,9 +492,9 @@ def _dispatch_grid(scene, config, camera, si_mat, row0s, rows, out_rows):
         * config.max_depth
         * (1 + 2 * config.light_samples * config.light_samples),
     )
-    g = int(max(1, min(n_launch,
-                       (64 << 20) // launch_bytes,
-                       (1 << 30) // q_est)))
+    g = group or int(max(1, min(n_launch,
+                                (64 << 20) // launch_bytes,
+                                (1 << 30) // q_est)))
     imgs = []
     overflow = 0
     queries = 0

@@ -132,6 +132,16 @@ def test_fused_frame_matches_sequential_launches():
     row0s = jnp.asarray([0, 8, 4, 12], jnp.int32)  # deliberately non-sorted
     imgs, ovf, q = _render_path_frame(scene, cfg, cam, si_mat, row0s, band)
     imgs = np.asarray(imgs)
+    # grouped dispatch (the HBM/counter-bounded path) must be identical
+    # to the single-scan dispatch, group boundaries included (g=3 makes a
+    # ragged 3+1 split)
+    from rayito_tpu.render.pathtracer import _dispatch_grid
+
+    imgs_g, ovf_g, q_g = _dispatch_grid(
+        scene, cfg, cam, si_mat, row0s, band, band, group=3
+    )
+    np.testing.assert_array_equal(imgs_g, imgs)
+    assert (ovf_g, q_g) == (int(ovf), int(q))
     ovf_s = q_s = 0
     for i in range(si_mat.shape[0]):
         img1, o1, q1 = _render_path_pass(
