@@ -113,11 +113,19 @@ def main(argv=None):
 
     from .utils.native import is_available as native_available
 
+    # cluster count of the traversal structure actually used: the merged
+    # kernel-table domains on the Pallas path, else the XLA pipeline's
+    # per-mesh cluster table
+    if scene.traversal == "pallas" and scene.ktab_tri:
+        n_clusters = sum(t.shape[0] for t in scene.ktab_tri)
+    else:
+        n_clusters = scene.cl_min.shape[0]
     print(
         f"[rayito_tpu] scene={args.scene} planes={scene.n_planes} "
         f"spheres={scene.n_spheres} rects={scene.n_rects} "
         f"meshes={scene.n_meshes} tris={scene.n_tris} lights={scene.n_lights} "
-        f"clusters={scene.cl_min.shape[0]} motion={scene.has_motion} "
+        f"clusters={n_clusters} traversal={scene.traversal} "
+        f"motion={scene.has_motion} "
         f"native={'c++' if native_available() else 'python'} "
         f"compile={time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
