@@ -194,6 +194,28 @@ def main():
     print(f"{n} triangles")
 
     clusterings = {}
+    # morton-order clustering: sort by 30-bit 3D morton code of triangle
+    # centroids, cut every 128 — SAME cluster count as prod, spatially
+    # compact runs without any tree (kept cheap to build)
+    cent = 0.5 * (bb_min + bb_max)
+    q = ((cent - cent.min(0)) / np.maximum(np.ptp(cent, 0), 1e-30)
+         * 1023).astype(np.uint64)
+
+    def spread(x):
+        x = x & 0x3FF
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (
+        spread(q[:, 2]) << 2
+    )
+    order_m = np.argsort(morton, kind="stable")
+    clusterings["morton-128chunk"] = (
+        order_m, [(i, min(i + KTRI, n)) for i in range(0, n, KTRI)]
+    )
     for mode in ("midpoint", "sah"):
         order, nodes = build_ranges(v0, v1, v2, mode)
         # fixed 128 chunks of the DFS order
