@@ -17,6 +17,7 @@ import os
 _PHASES = (
     ("_traverse_blocks", "traversal kernel (Möller-Trumbore blocks)"),
     ("_block_masks_pallas", "cluster-mask kernel (slab tests)"),
+    ("_transpose_rows_kernel", "row-table transpose kernel"),
     ("sort", "coherence sort / unsort"),
     ("slice_reduce_fusion", "analytic shapes + winner folds"),
     ("while", "bounce loop (rollup)"),
