@@ -69,3 +69,29 @@ def test_cli_renders_ppm(tmp_path):
     img = read_ppm(out)
     assert img.shape == (64, 64, 3)
     assert "nan=0" in r.stderr
+
+
+@pytest.mark.slow
+def test_cli_sharded_matches_unsharded(tmp_path):
+    """--sharded over the 8-virtual-device CPU mesh must write the exact
+    same PPM bytes as the plain path (the §2.9 determinism contract at the
+    CLI surface, not just the library API)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {}
+    for label, extra in (("plain", []), ("sharded", ["--sharded"])):
+        out = str(tmp_path / f"{label}.ppm")
+        env = dict(
+            os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo,
+            XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8",
+        )
+        r = subprocess.run(
+            [sys.executable, "-m", "rayito_tpu.cli", "--scene", "stage5",
+             "--width", "48", "--height", "32", "--pixel-samples", "2",
+             "--depth", "2", "-o", out] + extra,
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr
+        with open(out, "rb") as f:
+            outs[label] = f.read()
+    assert outs["plain"] == outs["sharded"]
