@@ -63,13 +63,30 @@ def read_ppm(path: str) -> np.ndarray:
 
 
 def write_pfm(path: str, img) -> None:
-    """Color PFM (little-endian, bottom-up per the -1.0 scale), the reference's
-    WRITE_PFM HDR output (Rayito_Stage1/main.cpp:79-83)."""
+    """Color PFM, the role of the reference's WRITE_PFM HDR switch
+    (Rayito_Stage1/main.cpp:55-57,79-83,122) — with its bugs fixed, a
+    documented deviation: the reference streams each float through
+    ofstream operator<< AFTER the binary header, i.e. unparseable ASCII
+    with no separators (its own comment: "if you can find a viewer that
+    will read it"), and emits rows top-down against the spec's bottom-up
+    convention. We write spec-valid little-endian (-1.0 scale) binary
+    floats, rows bottom-up, so standard viewers read it upright."""
     img = np.asarray(img, dtype=np.float32)
     h, w = img.shape[0], img.shape[1]
     with open(path, "wb") as f:
         f.write(b"PF\n%d %d\n-1.0\n" % (w, h))
-        f.write(img.astype("<f4").tobytes())
+        f.write(img[::-1].astype("<f4").tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """Inverse of write_pfm: [H, W, 3] float32, top row first."""
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"PF"
+        w, h = (int(v) for v in f.readline().split())
+        scale = float(f.readline())
+        dt = "<f4" if scale < 0 else ">f4"
+        data = np.frombuffer(f.read(w * h * 3 * 4), dtype=dt)
+    return data.reshape(h, w, 3)[::-1].astype(np.float32)
 
 
 def tone_map(img, exposure: float = 0.0, gamma: float = 2.2) -> np.ndarray:
