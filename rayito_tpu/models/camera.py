@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.vec3 import V3, cross, dot, normalize, splat, where as vwhere
-from ..ops.vecmath import PI
+from ..ops.vec3 import PI
 from ..ops.warps import uniform_to_uniform_disk
 
 

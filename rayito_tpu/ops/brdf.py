@@ -27,7 +27,7 @@ from .vec3 import (
     normalize,
     where as vwhere,
 )
-from .vecmath import PI
+from .vec3 import PI
 from .warps import uniform_to_cosine_hemisphere
 
 KIND_LAMBERT = 0

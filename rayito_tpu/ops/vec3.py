@@ -24,6 +24,16 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+# Self-intersection epsilon & ray max. Reference: Rayito_Stage7_QT/RRay.h:23-28
+# (stages 1-3 used 1e-5, Rayito_Stage1/rayito.h:303; stage 4+ uses 1e-4 — both
+# exposed, defaulting to the final value; the stage-1/2/3 golden scenes pass
+# the early epsilon explicitly).
+RAY_TMIN = 1.0e-4
+RAY_TMIN_EARLY = 1.0e-5
+RAY_TMAX = 1.0e30
+
+PI = 3.14159265358979
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .vec3 import V3
-from .vecmath import PI
+from .vec3 import PI
 
 
 def concentric_sample_disk(u1, u2):

@@ -28,7 +28,7 @@ from ..ops.vec3 import (
     splat,
     where as vwhere,
 )
-from ..ops.vecmath import PI
+from ..ops.vec3 import PI
 from ..ops.warps import uniform_cone_pdf, uniform_to_cone, uniform_to_sphere
 
 PDF_CLAMP = 1.0e10  # "really big PDFs blow up power-heuristic MIS" (RLight.h:210-215)

@@ -43,7 +43,7 @@ from ..ops.brdf import (
 )
 from ..ops.mis import power_heuristic
 from ..ops.vec3 import V3, dot, from_aos, where as vwhere
-from ..ops.vecmath import RAY_TMAX
+from ..ops.vec3 import RAY_TMAX
 from ..utils.config import RenderConfig
 from ..utils.vma import carry_init
 from . import lights as L

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 
-from ..ops.vecmath import RAY_TMIN, RAY_TMIN_EARLY
+from ..ops.vec3 import RAY_TMIN, RAY_TMIN_EARLY
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,7 +11,7 @@ import numpy as np
 
 from rayito_tpu.ops import brdf
 from rayito_tpu.ops.vec3 import V3, dot, from_aos, normalize, to_aos
-from rayito_tpu.ops.vecmath import PI
+from rayito_tpu.ops.vec3 import PI
 
 N = 50_000
 RS = np.random.default_rng(11)

@@ -3,7 +3,8 @@
 import jax.numpy as jnp
 import numpy as np
 
-from rayito_tpu.ops import mis, quaternion as quat, rng as rngo, vecmath as vm, warps
+from rayito_tpu.ops import mis, quaternion as quat, rng as rngo, warps
+from rayito_tpu.ops import vec3 as vm
 from rayito_tpu.ops.vec3 import V3, to_aos, from_aos
 
 
@@ -12,25 +13,26 @@ def _rand(shape, seed=0):
 
 
 # ---------------------------------------------------------------------------
-# vecmath
+# vec3 math core
 # ---------------------------------------------------------------------------
 
 
 def test_normalize_guards_zero():
-    v = jnp.array([[0.0, 0.0, 0.0], [3.0, 0.0, 4.0]])
-    out = np.asarray(vm.normalize(v))
+    v = from_aos(jnp.array([[0.0, 0.0, 0.0], [3.0, 0.0, 4.0]]))
+    out = np.asarray(to_aos(vm.normalize(v)))
     np.testing.assert_allclose(out[0], [0, 0, 0])
     np.testing.assert_allclose(out[1], [0.6, 0, 0.8], rtol=1e-6)
 
 
 def test_coordinate_space_orthonormal():
-    n = vm.normalize(jnp.asarray(_rand((128, 3)) * 2 - 1))
+    n = vm.normalize(from_aos(jnp.asarray(_rand((128, 3)) * 2 - 1)))
     x, y, z = vm.make_coordinate_space(n)
     np.testing.assert_allclose(np.asarray(vm.dot(x, y)), 0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vm.dot(y, z)), 0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vm.dot(z, x)), 0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(vm.length(x)), 1, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(z), np.asarray(n), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(to_aos(z)), np.asarray(to_aos(n)),
+                               atol=1e-5)
 
 
 def _frame_f64(normal, tangent=None):
@@ -56,7 +58,7 @@ def _frame_f64(normal, tangent=None):
 
 
 def test_coordinate_space_matches_reference_rule():
-    """Both the AoS (vecmath) and SoA (vec3) frames must reproduce the
+    """The SoA (vec3) frame must reproduce the
     reference's exact up-vector choice (RMath.h:946-955), including normals
     near (but not at) +/-Y — the old near-axis threshold picked a different
     branch there — and exactly at +/-Y."""
@@ -72,14 +74,11 @@ def test_coordinate_space_matches_reference_rule():
                    np.float32),
     ])
     xr, yr, zr = _frame_f64(n)
-    x, y, z = vm.make_coordinate_space(jnp.asarray(n))
-    np.testing.assert_allclose(np.asarray(x), xr, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(y), yr, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(z), zr, atol=2e-5)
     nv = from_aos(jnp.asarray(n))
     xs, ys, zs = v3m.make_coordinate_space(nv)
     np.testing.assert_allclose(np.asarray(to_aos(xs)), xr, atol=2e-5)
     np.testing.assert_allclose(np.asarray(to_aos(ys)), yr, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(to_aos(zs)), zr, atol=2e-5)
 
 
 def test_coordinate_space_tangent_overload():
@@ -104,18 +103,20 @@ def test_coordinate_space_tangent_overload():
 
 
 def test_frame_round_trip():
-    n = vm.normalize(jnp.asarray(_rand((64, 3), 1) * 2 - 1))
-    v = jnp.asarray(_rand((64, 3), 2) * 2 - 1)
+    n = vm.normalize(from_aos(jnp.asarray(_rand((64, 3), 1) * 2 - 1)))
+    v = from_aos(jnp.asarray(_rand((64, 3), 2) * 2 - 1))
     x, y, z = vm.make_coordinate_space(n)
     local = vm.to_local_frame(v, x, y, z)
     back = vm.from_local_frame(local, x, y, z)
-    np.testing.assert_allclose(np.asarray(back), np.asarray(v), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(to_aos(back)), np.asarray(to_aos(v)), atol=1e-5
+    )
 
 
 def test_reflect():
-    v = jnp.array([[1.0, 1.0, 0.0]])
-    n = jnp.array([[0.0, 1.0, 0.0]])
-    out = np.asarray(vm.reflect(v, n))
+    v = from_aos(jnp.array([[1.0, 1.0, 0.0]]))
+    n = from_aos(jnp.array([[0.0, 1.0, 0.0]]))
+    out = np.asarray(to_aos(vm.reflect(v, n)))
     np.testing.assert_allclose(out, [[-1.0, 1.0, 0.0]], atol=1e-6)
 
 
