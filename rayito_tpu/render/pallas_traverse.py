@@ -818,9 +818,23 @@ def _mask_kernel(
 
     Bit-packing without lane relayouts: the [1, C_pad] any-hit row is
     matmul'd (MXU) against constant 0/2^k weights, 16 bits per half so every
-    partial sum is an exact small integer in f32."""
+    partial sum is an exact small integer in f32.
+
+    Dead-step skip: lanes the integrator masked off (terminated paths,
+    gated-off shadow queries) carry tmax <= 0, which makes every slab test
+    fail structurally (max(near, tmin) > 0 >= min(far, tmax)); the global
+    coherence sort groups them into TRAILING grid steps, so a whole-step
+    guard on max(tmax) skips the dense [B, C_pad] slab work for fully-dead
+    steps and writes the identical all-zero masks directly. At depth-3
+    stage-6 occupancy a third or more of (launch, step) pairs are fully
+    dead."""
     del n_words
     box = box_ref[...]
+    step_alive = jnp.max(soat_ref[0, :, 6:7]) > 0.0
+
+    @pl.when(jnp.logical_not(step_alive))
+    def _dead():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
     def ray_block(r, carry):
         lo = r * B
@@ -865,7 +879,9 @@ def _mask_kernel(
         out_ref[0, pl.ds(r * NSUB, NSUB), :] = halves
         return carry
 
-    jax.lax.fori_loop(0, RB, ray_block, 0)
+    @pl.when(step_alive)
+    def _work():
+        jax.lax.fori_loop(0, RB, ray_block, 0)
 
 
 def _pack_weights(c_pad: int, n_words: int):
