@@ -806,8 +806,8 @@ def transpose_rows(x, interpret: bool | None = None):
 def _mask_kernel(
     soat_ref,  # [1, SB, 8] f32 rays (same layout as the traversal kernel)
     box_ref,  # [8, C_pad] f32 cluster slab rows
-    pack_ref,  # [C_pad, 64] f32 bit-pack weights (lo 32 cols | hi 32 cols)
-    out_ref,  # [1, RB, 64] f32 packed halves (lo | hi), combined outside
+    pack_ref,  # [G*1024, 64] f32 per-group bit-pack weights (lo | hi cols)
+    out_ref,  # [1, RB*NSUB, G*64] f32 packed halves, combined outside
     *, tmin: float, n_words: int,
 ):
     """Per-ray-block cluster masks, VMEM-resident. The XLA version of this
@@ -873,9 +873,17 @@ def _mask_kernel(
                 ],
                 axis=0,
             )  # [NSUB, C_pad]
-        halves = jnp.dot(
-            any_hit, pack_ref[...], preferred_element_type=jnp.float32
-        )  # [NSUB, 64]
+        # one [NSUB, <=1024] x [<=1024, 64] pack matmul per 1024-cluster
+        # group (static loop; G=1 for <=1024 clusters) -> [NSUB, G*64]
+        groups = (pack_ref.shape[0]) // 1024
+        parts = []
+        for g in range(groups):
+            ah_g = any_hit[:, g * 1024 : min((g + 1) * 1024, any_hit.shape[1])]
+            w_g = pack_ref[g * 1024 : g * 1024 + ah_g.shape[1], :]
+            parts.append(jnp.dot(
+                ah_g, w_g, preferred_element_type=jnp.float32
+            ))
+        halves = parts[0] if groups == 1 else jnp.concatenate(parts, axis=1)
         out_ref[0, pl.ds(r * NSUB, NSUB), :] = halves
         return carry
 
@@ -885,17 +893,24 @@ def _mask_kernel(
 
 
 def _pack_weights(c_pad: int, n_words: int):
-    """[C_pad, 64] f32: column w in [0,32) holds 2^(c%16) for clusters c
-    with c//32==w and c%32<16 (low half); columns 32+w the high half."""
+    """[G*1024, 64] f32 bit-pack weights, G = ceil(n_words/32) groups of
+    1024 clusters (rows padded to the group grid). Within group g's row
+    band, local column w%32 holds 2^(c%16) for clusters with c//32 == w
+    and c%32 < 16 (low half); columns 32 + w%32 the high half. The mask
+    kernel runs ONE [NSUB, <=1024] x [<=1024, 64] matmul per group, so any
+    cluster count packs with weight storage linear in C and every partial
+    sum stays an exact small integer (< 2^16) in f32."""
     import numpy as np
 
-    wts = np.zeros((c_pad, 64), np.float32)
+    groups = max(1, -(-n_words // 32))
+    wts = np.zeros((groups * 1024, 64), np.float32)
     for c in range(min(c_pad, n_words * 32)):
         w, b = divmod(c, 32)
+        wl = w % 32
         if b < 16:
-            wts[c, w] = float(1 << b)
+            wts[c, wl] = float(1 << b)
         else:
-            wts[c, 32 + w] = float(1 << (b - 16))
+            wts[c, 32 + wl] = float(1 << (b - 16))
     return jnp.asarray(wts)
 
 
@@ -907,6 +922,7 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
     n_steps = soat.shape[0]
     box = jnp.asarray(cl_box)
     c_pad = box.shape[1]
+    groups = max(1, -(-n_words // 32))
     wts = _pack_weights(c_pad, n_words)
     halves = pl.pallas_call(
         functools.partial(_mask_kernel, tmin=float(tmin), n_words=n_words),
@@ -916,19 +932,21 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, c_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, 64), lambda i: (0, 0),
+            pl.BlockSpec((groups * 1024, 64), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RB * NSUB, 64), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, RB * NSUB, groups * 64),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (n_steps, RB * NSUB, 64), jnp.float32
+            (n_steps, RB * NSUB, groups * 64), jnp.float32
         ),
         interpret=interpret,
     )(soat, box, wts)
-    lo = halves[..., 0:32].astype(jnp.int32)
-    hi = halves[..., 32:64].astype(jnp.int32)
-    words = (lo | (hi << 16)).reshape(n_steps * RB * NSUB, 32)
+    h4 = halves.reshape(n_steps, RB * NSUB, groups, 64)
+    lo = h4[..., 0:32].astype(jnp.int32)
+    hi = h4[..., 32:64].astype(jnp.int32)
+    words = (lo | (hi << 16)).reshape(n_steps * RB * NSUB, groups * 32)
     return words[:, :n_words]
 
 
@@ -1129,11 +1147,17 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     soat = soa8.reshape(n_steps, SB, 8)
     c_pad = jnp.asarray(tables.cl_box).shape[1]
     n_words = -(-c_pad // 32)
-    if n_words <= 32:
+    if n_words <= 128:
+        # <=4096 clusters (524k tris): the Pallas mask kernel, one pack
+        # matmul per 1024-cluster group. Beyond that the [B, C_pad] slab
+        # intermediates outgrow the kernel's VMEM scope — XLA fallback.
+        # (The big-scene bench's 1920 clusters used to take this fallback
+        # at the old 1024-cluster cap: its [N, C] slab fusions measured
+        # ~40 ms/frame, 3.4x the whole Pallas mask bill.)
         masks = _block_masks_pallas(
             soat, tables.cl_box, float(tmin), n_words, bool(interpret)
         )
-    else:  # >1024 clusters: bit-pack weights don't fit one matmul — XLA path
+    else:  # >4096 clusters: slab intermediates exceed VMEM — XLA path
         masks = _block_masks(
             col(0), col(1), col(2),
             1.0 / col(3), 1.0 / col(4), 1.0 / col(5),

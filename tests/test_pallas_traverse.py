@@ -290,3 +290,47 @@ def test_kernel_bw_matches_vpu():
     np.testing.assert_array_equal(p_w[both], p_v[both])
     rel = np.abs(t_w[both] - t_v[both]) / np.maximum(t_v[both], 1e-6)
     assert rel.max() < 1e-4
+
+
+def test_mask_kernel_multi_group_matches_xla():
+    """The mask kernel's grouped bit-pack (>1024 clusters: one pack matmul
+    per 1024-cluster group, _pack_weights) must produce bit-identical masks
+    to the XLA reference packer for a 1920-cluster box table — the big-scene
+    regime that used to fall back to XLA slab fusions (~40 ms/frame)."""
+    from rayito_tpu.render.pallas_traverse import (
+        SB,
+        _block_masks,
+        _block_masks_pallas,
+    )
+
+    rs = np.random.default_rng(7)
+    c = 1920  # multiple of 128 (lane-padded table), 2 pack groups
+    n_words = -(-c // 32)
+    lo = rs.uniform(-20, 19, (3, c)).astype(np.float32)
+    box = np.concatenate(
+        [lo, lo + rs.uniform(0.1, 2.0, (3, c)).astype(np.float32),
+         np.zeros((2, c), np.float32)], axis=0
+    )  # [8, C]
+    o = rs.uniform(-25, 25, (SB, 3)).astype(np.float32)
+    d = rs.normal(size=(SB, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(SB, np.inf, np.float32)
+    tmax[SB // 2 :] = rs.uniform(1, 50, SB - SB // 2).astype(np.float32)
+    tmax[:64] = 0.0  # dead lanes: structurally empty mask rows
+
+    soat = jnp.asarray(
+        np.concatenate(
+            [o, d, tmax[:, None], np.zeros((SB, 1), np.float32)], axis=1
+        )
+    ).reshape(1, SB, 8)
+    m_pallas = np.asarray(_block_masks_pallas(
+        soat, jnp.asarray(box), 1e-4, n_words, True
+    ))
+    m_xla = np.asarray(_block_masks(
+        *(jnp.asarray(o[:, k]) for k in range(3)),
+        *(1.0 / jnp.asarray(d[:, k]) for k in range(3)),
+        1e-4, jnp.asarray(tmax), jnp.asarray(box), SB // 128,
+    ))
+    assert m_pallas.shape == m_xla.shape == (SB // 128, n_words)
+    np.testing.assert_array_equal(m_pallas, m_xla)
+    assert m_pallas.any()  # the scene actually produces candidates
