@@ -110,6 +110,262 @@ def _prune_for(any_hit: bool) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# Item-grid traversal (experimental alternative to the in-kernel scalar scan)
+#
+# The lane-carried kernel's measured binder is the ~500-600 ns per work item
+# (= (ray-block, cluster) pair) scalar chain: SMEM worklist load -> dynamic
+# tri-slice address -> VMEM read, with at most ~4 usefully outstanding
+# (the WIDE sweep's saturation). Here the worklist becomes the KERNEL GRID:
+# one grid step processes ITEMS_W items via scalar-prefetch-driven BlockSpec
+# index maps, so Mosaic's pipeline DMAs each item's triangle block ahead of
+# compute and the scalar chain disappears. The grid bound is DYNAMIC (a
+# traced scalar — measured ~120 ns/step marginal overhead on v5e), so the
+# data-dependent item count needs no padding beyond per-block alignment to
+# ITEMS_W (pad items re-test the block's LAST real cluster — idempotent
+# under the strict < fold, the same dup trick the 2-wide scan used).
+# BENCH_NOTES round 3 had closed "worklist-as-grid" under a PER-BLOCK
+# padded-grid framing (~6x waste at p99 density); the global dynamic-grid
+# item list has no such padding.
+# ---------------------------------------------------------------------------
+ITEMS_W = int(os.environ.get("RAYITO_ITEMS_W", "4"))
+if not 1 <= ITEMS_W <= 8:
+    raise ValueError(f"RAYITO_ITEMS_W={ITEMS_W!r}: must be in 1..8")
+# max items per launch (static: sizes the prefetch array and the interpret-
+# mode grid). Real counts are data-dependent; overflow falls back to the
+# scan kernel (checked by the caller via _build_items' overflow flag).
+ITEMS_MAX = int(os.environ.get("RAYITO_ITEMS_MAX", str(24 * 1024)))
+# max items per ray-block for the dense ragged-flatten (counts above this
+# also raise the overflow flag)
+ITEMS_CAP = int(os.environ.get("RAYITO_ITEMS_CAP", "64"))
+_CIDBITS = 13  # cluster-id field of a packed item (bid << 13 | cid)
+_CIDMASK = (1 << _CIDBITS) - 1
+
+
+def _mt_key_rows(mt_mode, rows, ox, oy, oz, dx, dy, dz, tmin, lane):
+    """Shared per-cluster triangle-test key math for [sz, KTRI] ray blocks
+    against one cluster's row block (``rows`` [16, KTRI]) — the tb-free
+    (key-min-bounded) forms used by both the scan kernel's lane-carried
+    paths and the item-grid kernel. See the scan kernel's make_mt_key
+    docstring for the bound-via-key-min argument."""
+    if mt_mode == "bw":
+        nx, ny, nz, dpl = rows[0:1], rows[1:2], rows[2:3], rows[3:4]
+        rux, ruy, ruz, rud = rows[4:5], rows[5:6], rows[6:7], rows[7:8]
+        rvx, rvy, rvz, rvd = rows[8:9], rows[9:10], rows[10:11], rows[11:12]
+        den = nx * dx + ny * dy + nz * dz
+        t = (dpl - (nx * ox + ny * oy + nz * oz)) / den
+        hx = ox + t * dx
+        hy = oy + t * dy
+        hz = oz + t * dz
+        u = rux * hx + ruy * hy + ruz * hz + rud
+        v = rvx * hx + rvy * hy + rvz * hz + rvd
+        ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin)
+        return jnp.where(ok, _pack_key(t, lane), _IMAX)
+    # classic Möller-Trumbore (det==0 -> inv inf -> compares fail)
+    v0x, v0y, v0z = rows[0:1], rows[1:2], rows[2:3]
+    e1x, e1y, e1z = rows[3:4], rows[4:5], rows[5:6]
+    e2x, e2y, e2z = rows[6:7], rows[7:8], rows[8:9]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = 1.0 / det
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin)
+    return jnp.where(ok, _pack_key(t, lane), _IMAX)
+
+
+def _build_items(masks, w: int, maxitems: int, cap: int):
+    """Masks [NBLK, n_words] i32 -> global work-item list for the item-grid
+    kernel. Fully vectorized (no sort, no scatter: jnp.nonzero's sort-based
+    compaction measured 4 ms/launch at these shapes — the rank/cumsum
+    ragged flatten below is two fused dense reduce passes).
+
+    Returns (items [maxitems + w] i32 packed bid<<13|cid (fill -1),
+    n_steps [] i32 traced grid bound, overflow [] bool, block_used [NBLK]
+    bool). Per block the item run is its slab-hit clusters ASCENDING, padded
+    to a multiple of ``w`` by duplicating the last real cluster (idempotent
+    under the kernel's strict-< fold)."""
+    nblk, nw = masks.shape
+    c32 = nw * 32
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    bits = ((masks[:, :, None] >> shifts[None, None, :]) & 1).astype(
+        jnp.int32
+    ).reshape(nblk, c32)
+    rank = jnp.cumsum(bits, axis=1, dtype=jnp.int32)  # [NBLK, c32]
+    counts = rank[:, -1]
+    aligned = ((counts + w - 1) // w) * w
+    ends = jnp.cumsum(aligned, dtype=jnp.int32)
+    start = ends - aligned
+    total = ends[-1]
+    overflow = (total > maxitems) | jnp.any(counts > cap)
+    # dense per-block item table: wcid[b, r] = cid of the r-th set bit
+    r_ids = jnp.arange(cap, dtype=jnp.int32)
+    cids = jnp.arange(c32, dtype=jnp.int32)
+    sel = (rank[:, None, :] == (r_ids[None, :, None] + 1)) & (
+        bits[:, None, :] > 0
+    )
+    wcid = jnp.sum(
+        jnp.where(sel, cids[None, None, :], 0), axis=2, dtype=jnp.int32
+    )  # [NBLK, cap]
+    j = jnp.arange(maxitems, dtype=jnp.int32)
+    # bid[j] = last block whose start <= j (empty blocks tie-resolve away)
+    bid = jnp.sum(
+        (start[None, :] <= j[:, None]).astype(jnp.int32), axis=1
+    ) - 1
+    r = j - start[bid]
+    r_eff = jnp.minimum(r, jnp.maximum(counts[bid] - 1, 0))
+    r_eff = jnp.minimum(r_eff, cap - 1)
+    cid = wcid.reshape(-1)[bid * cap + r_eff]
+    packed = (bid << _CIDBITS) | cid
+    items = jnp.where(j < total, packed, -1)
+    items = jnp.concatenate([items, jnp.full((w,), -1, jnp.int32)])
+    # clamp: an overflowing launch must not drive the grid past the
+    # prefetch array (reads past it crash the backend) — the overflow flag
+    # is the caller's signal that the clamped result is truncated
+    n_steps = jnp.minimum(total, maxitems) // w
+    return items, n_steps, overflow, aligned > 0
+
+
+def _items_kernel(
+    items_ref,  # scalar-prefetch [maxitems + w] i32 packed items
+    soab_ref,  # [1, B, 8] f32 ray block (ox oy oz dx dy dz tmax pad)
+    *refs,  # w tri refs [1, 16, lanes], tout [1, B, 1], pout [1, B, 1],
+    #         kbl/cbl scratch [B, KTRI] i32
+    w: int, tmin: float, mt_mode: str,
+):
+    """One grid step = ITEMS_W work items of ONE ray block (the item list is
+    block-major and per-block w-aligned). The per-block running best rides
+    [B, KTRI] lane-carried scratch across this block's steps: first visit
+    initializes from tmax, every step folds w cluster keys (ascending,
+    strict <), the last visit reduces and emits — identical fold semantics
+    to the scan kernel's lane-carried WIDE path, so outputs are
+    bit-identical (pinned by tests)."""
+    tri_refs = refs[:w]
+    tout_ref, pout_ref, kbl_ref, cbl_ref = refs[w:]
+    s = pl.program_id(0)
+    it0 = items_ref[s * w]
+    bid = it0 >> _CIDBITS
+    live = bid >= 0  # static-grid (interpret-mode) fill steps are dead
+    prev = jnp.where(
+        s > 0, items_ref[jnp.maximum(s * w - 1, 0)] >> _CIDBITS,
+        jnp.int32(-2),
+    )
+    nxt = items_ref[(s + 1) * w] >> _CIDBITS
+
+    @pl.when(live & (bid != prev))
+    def _init():
+        tmax_col = soab_ref[0, :, 6:7]
+        kb0 = _pack_key(jnp.minimum(tmax_col, 3e38), jnp.int32(KTRI - 1))
+        kbl_ref[...] = jnp.broadcast_to(kb0, kbl_ref.shape)
+        cbl_ref[...] = jnp.full(cbl_ref.shape, _IMAX, jnp.int32)
+
+    @pl.when(live)
+    def _fold():
+        rd = lambda k: soab_ref[0, :, k : k + 1]
+        ox, oy, oz = rd(0), rd(1), rd(2)
+        dx, dy, dz = rd(3), rd(4), rd(5)
+        b = soab_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, KTRI), 1)
+        k_sel = c_sel = None
+        for jj in range(w):
+            cid = items_ref[s * w + jj] & _CIDMASK
+            key = _mt_key_rows(
+                mt_mode, tri_refs[jj][0], ox, oy, oz, dx, dy, dz, tmin,
+                lane,
+            )
+            if k_sel is None:
+                k_sel, c_sel = key, jnp.full((b, KTRI), 1, jnp.int32) * cid
+            else:
+                bj = key < k_sel
+                k_sel = jnp.where(bj, key, k_sel)
+                c_sel = jnp.where(bj, cid, c_sel)
+        kbl = kbl_ref[...]
+        better = k_sel < kbl
+        kbl_ref[...] = jnp.where(better, k_sel, kbl)
+        cbl_ref[...] = jnp.where(better, c_sel, cbl_ref[...])
+
+    @pl.when(live & (bid != nxt))
+    def _emit():
+        kbl = kbl_ref[...]
+        cbl = cbl_ref[...]
+        kmin = jnp.min(kbl, axis=1, keepdims=True)
+        cwin = jnp.min(
+            jnp.where(kbl == kmin, cbl, _IMAX), axis=1, keepdims=True
+        )
+        found = cwin != _IMAX
+        t_out = pltpu.bitcast(kmin & ~jnp.int32(KTRI - 1), jnp.float32)
+        tout_ref[0] = jnp.where(found, t_out, _INF)
+        pout_ref[0] = jnp.where(
+            found, cwin * KTRI + (kmin & jnp.int32(KTRI - 1)), -1
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tmin", "interpret", "mt_mode", "w", "maxitems"),
+)
+def _traverse_items(items, n_steps, soab, tri, tmin: float, interpret: bool,
+                    mt_mode: str, w: int, maxitems: int):
+    """Item-grid launch: soab [NBLK, B, 8]; tri [C_full, 16, lanes];
+    items/n_steps from _build_items. Returns (t, prim) each [NBLK, B, 1].
+    Blocks with no items are never visited — their output rows are GARBAGE
+    and must be gated by the caller (block_used)."""
+    nblk, b, _ = soab.shape
+    c_full = tri.shape[0]
+    lanes = tri.shape[2]
+    grid = (maxitems // w,) if interpret else (n_steps,)
+
+    def ray_ix(s, it):
+        return (jnp.maximum(it[s * w] >> _CIDBITS, 0), 0, 0)
+
+    def tri_ix(jj):
+        def ix(s, it):
+            cid = it[s * w + jj] & _CIDMASK
+            return (jnp.minimum(cid, c_full - 1), 0, 0)
+
+        return ix
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, b, 8), ray_ix, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, 16, lanes), tri_ix(jj),
+                         memory_space=pltpu.VMEM)
+            for jj in range(w)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, 1), ray_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), ray_ix, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, KTRI), jnp.int32),
+            pltpu.VMEM((b, KTRI), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _items_kernel, w=w, tmin=tmin, mt_mode=mt_mode
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nblk, b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, b, 1), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(items, soab, *([tri] * w))
+
+
 def traversal_impl() -> str:
     """'pallas' | 'xla' — RAYITO_TRAVERSAL env overrides; auto picks the
     Pallas kernel on TPU and the XLA pipeline elsewhere (the kernel runs
@@ -1052,7 +1308,7 @@ def _coherence_key(ox, oy, oz, dx, dy, dz, tmax, cl_box, tmin):
 def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              interpret: bool | None = None, sort_rays: bool | None = None,
              want_t: bool = True, mt_mode: str = "vpu",
-             any_hit: bool = False):
+             any_hit: bool = False, items: bool | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1164,11 +1420,42 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
             float(tmin), col(6), tables.cl_box, n_steps * RB * NSUB,
         )
 
-    t_bn, p_bn = _traverse_blocks(
-        masks, soat, tables.tri, jnp.asarray(tables.cl_box),
-        tmin=float(tmin), interpret=bool(interpret), mt_mode=mt_mode,
-        prune=_prune_for(any_hit), any_hit=any_hit,
+    if items is None:
+        items = os.environ.get("RAYITO_TRAVERSE_ITEMS", "0") == "1"
+    use_items = (
+        items
+        and NSUB == 1
+        and mt_mode != "mxu"
+        and not _prune_for(any_hit)
     )
+    if use_items:
+        # EXPERIMENTAL item-grid path (see the Item-grid section above).
+        # Overflow caveat: item lists beyond ITEMS_MAX / per-block ITEMS_CAP
+        # are truncated by _build_items' static shapes — the overflow flag
+        # is returned but not yet acted on (a lax.cond fallback to the scan
+        # kernel is the production plan if this path wins its A/B).
+        items, n_steps_g, _overflow, block_used = _build_items(
+            masks, ITEMS_W, ITEMS_MAX, ITEMS_CAP
+        )
+        t_ib, p_ib = _traverse_items(
+            items, n_steps_g, soat.reshape(n_steps * RB, B, 8),
+            jnp.asarray(tables.tri), tmin=float(tmin),
+            interpret=bool(interpret), mt_mode=mt_mode, w=ITEMS_W,
+            maxitems=ITEMS_MAX,
+        )
+        valid = jnp.repeat(block_used, B)
+        t_bn = jnp.where(valid, t_ib.reshape(-1), _INF).reshape(
+            n_steps, SB, 1
+        )
+        p_bn = jnp.where(valid, p_ib.reshape(-1), -1).reshape(
+            n_steps, SB, 1
+        )
+    else:
+        t_bn, p_bn = _traverse_blocks(
+            masks, soat, tables.tri, jnp.asarray(tables.cl_box),
+            tmin=float(tmin), interpret=bool(interpret), mt_mode=mt_mode,
+            prune=_prune_for(any_hit), any_hit=any_hit,
+        )
     if mode == "off":
         t = t_bn.reshape(n_steps * SB)
         prim = p_bn.reshape(n_steps * SB)

@@ -334,3 +334,81 @@ def test_mask_kernel_multi_group_matches_xla():
     assert m_pallas.shape == m_xla.shape == (SB // 128, n_words)
     np.testing.assert_array_equal(m_pallas, m_xla)
     assert m_pallas.any()  # the scene actually produces candidates
+
+
+def test_items_grid_bit_identical(monkeypatch):
+    """The experimental item-grid traversal (worklist-as-grid with
+    scalar-prefetch index maps, RAYITO_TRAVERSE_ITEMS) must produce
+    BIT-identical (t, prim) to the scan kernel — same ascending-cluster
+    strict-< fold, pad items duplicate the block's last real cluster
+    (idempotent), unvisited blocks gated to miss. Exercises dead lanes
+    (empty blocks), cnt % W pads, both sort modes, and the interpret-mode
+    static grid."""
+    import jax
+
+    from rayito_tpu.render import pallas_traverse as pt
+
+    centers, v0, v1, v2 = _geometry(500, seed=21)
+    rs = np.random.default_rng(22)
+    n = 400
+    o = (centers.mean(0) + rs.normal(0, 20, (n, 3))).astype(np.float32)
+    tgt = centers[rs.integers(0, 500, n)]
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(n, np.inf, np.float32)
+    tmax[-60:] = 0.0  # dead lanes -> empty item blocks
+    valid = np.ones(500, bool)
+    tbl = _Tbl(build_kernel_tables(v0, v1, v2, valid))
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+
+    monkeypatch.setattr(pt, "ITEMS_MAX", 2048)
+    monkeypatch.setattr(pt, "ITEMS_CAP", 16)
+    try:
+        for sort_rays in (False, True):
+            t_s, p_s = traverse(
+                ov, dv, jnp.asarray(tmax), tbl, 1e-4, interpret=True,
+                sort_rays=sort_rays, items=False,
+            )
+            t_i, p_i = traverse(
+                ov, dv, jnp.asarray(tmax), tbl, 1e-4, interpret=True,
+                sort_rays=sort_rays, items=True,
+            )
+            assert np.isfinite(np.asarray(t_s)).sum() > 100
+            np.testing.assert_array_equal(np.asarray(t_i), np.asarray(t_s))
+            np.testing.assert_array_equal(np.asarray(p_i), np.asarray(p_s))
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()
+
+
+def test_items_build_overflow_and_alignment():
+    """_build_items invariants: per-block runs are ascending and W-aligned
+    (pads duplicate the last real cluster), the grid bound is CLAMPED to
+    the prefetch array on overflow (reads past it crash the backend), and
+    block_used marks exactly the blocks with any mask bit."""
+    from rayito_tpu.render.pallas_traverse import _CIDBITS, _build_items
+
+    w = 4
+    masks = np.zeros((3, 2), np.int32)
+    masks[0, 0] = 0b1011  # clusters 0, 1, 3 -> pad to 4 (dup 3)
+    masks[2, 1] = 1 << 5  # cluster 37 -> pad to 4 (dup x3)
+    items, n_steps, overflow, used = (
+        np.asarray(x) for x in _build_items(jnp.asarray(masks), w, 64, 8)
+    )
+    assert not overflow and int(n_steps) == 2
+    got = [(x >> _CIDBITS, x & ((1 << _CIDBITS) - 1)) for x in items[:8]]
+    assert got == [(0, 0), (0, 1), (0, 3), (0, 3),
+                   (2, 37), (2, 37), (2, 37), (2, 37)]
+    assert (items[8:] == -1).all()
+    np.testing.assert_array_equal(used, [True, False, True])
+
+    # overflow: total beyond maxitems clamps the grid, flags overflow
+    dense = np.full((4, 2), -1, np.int32)  # 64 bits set per block
+    items, n_steps, overflow, used = (
+        np.asarray(x) for x in _build_items(jnp.asarray(dense), w, 128, 64)
+    )
+    assert bool(overflow) and int(n_steps) == 128 // w
+    # per-block CAP breach also flags
+    _, _, overflow, _ = _build_items(jnp.asarray(dense), w, 1024, 8)
+    assert bool(overflow)
