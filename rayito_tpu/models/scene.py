@@ -706,6 +706,26 @@ class Scene:
         # 64-byte gathers (each measured ~2.2 ms/131k-ray band — the row
         # fetch, not the bytes, is the cost)
         tri_vm = np.concatenate([tri_vert, tri_meta], axis=1)
+        # lane-packed variant: 4 consecutive 32-col rows per 128-lane
+        # physical row, so the table carries ZERO lane padding (a [T, 32]
+        # f32 array tiles as (8,128) on TPU — 4x physical footprint; the
+        # big-scene winner gather ran at ~1/10 stage-6 bandwidth,
+        # consistent with page-locality collapse on the padded table).
+        # The consumer gathers row idx>>2 and selects group idx&3 after
+        # the physical transpose (render/trace.py _winner_retest).
+        # Measured crossover (idle-host interleaved pairs): +7% on the
+        # 245k-tri streamed scene (5.18 vs 4.84 Mrays/s — the padded
+        # table is 126 MB there), but ~-1.5% on stage-6's 49k tris (the
+        # 25 MB padded table already gathers at full bandwidth, so the
+        # 4x-wider transpose + group select is pure overhead). Auto packs
+        # only above the crossover; RAYITO_PACKED_ROWS=1/0 forces.
+        pack_env = os.environ.get("RAYITO_PACKED_ROWS", "auto")
+        if pack_env == "1" or (pack_env != "0" and len(tri_vm) > 96 * 1024):
+            t_pack = max((len(tri_vm) + 3) // 4, 1)
+            vm_packed = np.zeros((t_pack, 128), f32)
+            vm_packed.reshape(-1)[: tri_vm.size] = tri_vm.reshape(-1)
+        else:
+            vm_packed = np.zeros((0, 128), f32)
 
         # --- lights ---
         light_kind, light_index, light_shape_id, light_color, light_power = (
@@ -828,6 +848,7 @@ class Scene:
             tri_meta_rows=dev(tri_meta),
             tri_vert_rows=dev(tri_vert),
             tri_vm_rows=dev(tri_vm),
+            tri_vm_packed=dev(vm_packed),
             mat_rows=dev(mat_rows),
             mesh_cl_ranges=tuple(mesh_cl_ranges),
             mesh_sc_ranges=tuple(mesh_sc_ranges),
@@ -935,6 +956,12 @@ class SceneData:
     # per-slot parent transform slot (-1 = root) — nested Group chains
     xf_parent: jnp.ndarray = dataclasses.field(
         default_factory=lambda: jnp.full((1,), -1, jnp.int32)
+    )
+    # lane-packed tri_vm_rows: [ceil(T/4), 128] f32, 4 logical rows per
+    # physical row (zero lane padding — see Scene.compile). Shape (0, 128)
+    # disables the packed gather path (RAYITO_PACKED_ROWS=0).
+    tri_vm_packed: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 128), jnp.float32)
     )
     # static metadata
     has_motion: bool = dataclasses.field(metadata=dict(static=True), default=False)

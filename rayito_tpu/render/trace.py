@@ -468,7 +468,22 @@ def _winner_retest(scene: SceneData, di: int, o_l: V3, d_l: V3, p_d, tmin,
     # component a dense row view.
     from .pallas_traverse import transpose_rows
 
-    if want_meta:
+    if want_meta and scene.tri_vm_packed.shape[0] > 0:
+        # lane-packed table: 4 logical 32-col rows per 128-lane physical
+        # row (zero lane padding -> 4x smaller physical table; the padded
+        # [T, 32] gather ran at ~1/10 bandwidth on 245k-tri scenes). Gather
+        # the packed row, physical-transpose once, then a 3-select picks
+        # the winner's 32-row group — same floats as the unpacked gather.
+        rowP = transpose_rows(scene.tri_vm_packed[idx >> 2])  # [128, N]
+        grp = rowP.reshape(4, 32, n)
+        sub = (idx & 3)[None, :]
+        rowT = jnp.where(
+            sub == 0,
+            grp[0],
+            jnp.where(sub == 1, grp[1], jnp.where(sub == 2, grp[2], grp[3])),
+        )
+        vrow, meta = rowT[:16], rowT[16:]  # [16, N] each
+    elif want_meta:
         rowT = transpose_rows(scene.tri_vm_rows[idx])
         vrow, meta = rowT[:16], rowT[16:]  # [16, N] each
     else:

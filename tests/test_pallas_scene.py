@@ -266,3 +266,30 @@ def test_occlusion_respects_exact_tmax():
     )
     occ_past, _ = scene_occluded(sc_pl, o, d, time, 1e-4, tmax_past)
     assert np.asarray(occ_past)[hit].all()
+
+
+def test_packed_vm_rows_parity(monkeypatch):
+    """The lane-packed winner-row table (tri_vm_packed: 4 logical 32-col
+    rows per 128-lane physical row, zero lane padding) must produce the
+    BIT-identical Hit as the padded [T, 32] gather it replaces — the
+    packed path gathers row idx>>2 and 3-selects group idx&3 after the
+    physical transpose (render/trace.py _winner_retest). Auto-packing
+    only engages above the measured 96k-triangle crossover, so force it
+    on for this small scene."""
+    monkeypatch.setenv("RAYITO_PACKED_ROWS", "1")
+    scene = _static_two_mesh_scene(traversal="pallas")
+    assert scene.tri_vm_packed.shape[0] > 0
+    n = 512
+    o, d = _random_rays(n, seed=23)
+    t = jnp.zeros((n,), jnp.float32)
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    unpacked = dataclasses.replace(
+        scene, tri_vm_packed=jnp.zeros((0, 128), jnp.float32)
+    )
+    got = scene_intersect(scene, o, d, t, 1e-4, tmax)
+    ref = scene_intersect(unpacked, o, d, t, 1e-4, tmax)
+    assert np.asarray(ref.valid).sum() > n // 16
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(ref)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
