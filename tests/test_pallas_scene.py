@@ -293,3 +293,42 @@ def test_packed_vm_rows_parity(monkeypatch):
         jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(ref)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_packed_vm_rows_auto_threshold():
+    """Auto-packing engages only above the measured 96k-triangle
+    crossover (packing LOSES ~1.5% below it — BENCH_NOTES): a synthetic
+    >96k-tri grid mesh compiles with a packed table sized ceil(T/4), the
+    small two-box scene compiles without one."""
+    small = _static_two_mesh_scene(traversal="pallas")
+    assert small.tri_vm_packed.shape[0] == 0
+
+    # 224x224 grid -> 2*223*223 = 99,458 triangles
+    g = 224
+    xs, zs = np.meshgrid(
+        np.linspace(-4, 4, g, dtype=np.float32),
+        np.linspace(-4, 4, g, dtype=np.float32),
+        indexing="ij",
+    )
+    verts = np.stack(
+        [xs, 0.2 * np.sin(xs * 3) * np.cos(zs * 3), zs], -1
+    ).reshape(-1, 3)
+    q = np.arange(g * g, dtype=np.int32).reshape(g, g)
+    a, b_, c, d_ = (
+        q[:-1, :-1].ravel(), q[1:, :-1].ravel(),
+        q[1:, 1:].ravel(), q[:-1, 1:].ravel(),
+    )
+    idx = np.concatenate(
+        [np.stack([a, b_, c], 1), np.stack([a, c, d_], 1)], 0
+    ).astype(np.int32)
+    sc = rt.Scene()
+    sc.add(rt.TriangleMesh(verts, idx, rt.DiffuseMaterial((0.5, 0.5, 0.5))))
+    big = sc.compile(traversal="pallas")
+    t = big.n_tris
+    assert t > 96 * 1024
+    assert big.tri_vm_packed.shape == ((t + 3) // 4, 128)
+    np.testing.assert_array_equal(
+        np.asarray(big.tri_vm_packed).reshape(-1)[: t * 32],
+        np.asarray(big.tri_vm_rows).reshape(-1),
+    )
