@@ -172,8 +172,11 @@ def sample_sa(kind, exponent, outgoing: V3, normal: V3, u1, u2):
     f = jnp.where(is_r, f_r, jnp.where(is_g, f_g, f_l))
     pdf = jnp.where(is_r, pdf_r, jnp.where(is_g, pdf_g, pdf_l))
     # emitters have no BRDF (Material::evaluate returns NULL brdf,
-    # RMaterial.h:530-555) — force pdf 0 so the path terminates
-    none = kind == KIND_EMITTER
+    # RMaterial.h:530-555) — force pdf 0 so the path terminates. Phong is
+    # the stage-3/4 direct-lighting shader only; in path mode it likewise
+    # has no Brdf (evaluate_sa already returns 0), so terminate here too
+    # rather than silently sampling the Lambert fallthrough branch.
+    none = (kind == KIND_EMITTER) | (kind == KIND_PHONG)
     f = jnp.where(none, 0.0, f)
     pdf = jnp.where(none, 0.0, pdf)
     return incoming, f, pdf

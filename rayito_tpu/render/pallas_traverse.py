@@ -60,14 +60,28 @@ SB = 2048  # rays per grid step
 # v5e, stage-6 bench frames: 128 beats 256 by 1.2-1.6x (tighter unions
 # dominate the extra scans) and beats 64/32 (42.1 / 132.8 vs 103 ms —
 # per-block fixed costs overtake the union gains).
+def validate_knobs(b: int, wide: int, sub: int) -> None:
+    """Shared validation for the kernel block knobs — used both for the
+    module-level env defaults below and for Scene.compile()-resolved
+    values (SceneData.traverse_b/wide/sub), so a bad knob fails loudly at
+    compile time in either path."""
+    if b <= 0 or SB % b or (b & (b - 1)):
+        raise ValueError(
+            f"traverse b={b!r}: must be a positive power of two dividing "
+            f"{SB} — any other value would leave trailing rays of every "
+            "grid step unprocessed (their output blocks never written)"
+        )
+    if not 1 <= wide <= 8:
+        raise ValueError(f"traverse wide={wide!r}: must be in 1..8")
+    if sub and (b % sub or sub % 8):
+        raise ValueError(
+            f"traverse sub={sub!r}: must divide b={b} and be a "
+            "multiple of 8 (sublane granularity)"
+        )
+
+
 B = int(os.environ.get("RAYITO_TRAVERSE_B", "128"))
-if B <= 0 or SB % B or (B & (B - 1)):
-    raise ValueError(
-        f"RAYITO_TRAVERSE_B={B!r}: must be a positive power of two dividing "
-        f"{SB} — any other value would leave trailing rays of every grid "
-        "step unprocessed (their output blocks never written)"
-    )
-RB = SB // B  # ray-blocks per grid step
+RB = SB // B  # ray-blocks per grid step (at the default B)
 _INF = float("inf")  # python scalar: folds into kernel constants
 _IMAX = jnp.iinfo(jnp.int32).max
 # best-t cluster prune (exact, bit-identical; see _traverse_kernel docs).
@@ -85,8 +99,6 @@ _PRUNE_MODE = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
 # Interleaved idle-host sweep at B=128: W1 ~9.8, W2 11.53, W4 11.72,
 # W6/W8 flat vs W4 — default 4.
 WIDE = int(os.environ.get("RAYITO_TRAVERSE_WIDE", "4"))
-if not 1 <= WIDE <= 8:
-    raise ValueError(f"RAYITO_TRAVERSE_WIDE={WIDE!r}: must be in 1..8")
 # sub-block MT: candidate masks at SUB-ray granularity (SUB divides B);
 # the lane-carried scan then runs NSUB independent [SUB, KTRI] MT chains
 # in lockstep — same vector footprint per iteration as one [B, KTRI]
@@ -94,12 +106,13 @@ if not 1 <= WIDE <= 8:
 # max over subs of |union(SUB)| (offline on stage-6: 0.62-0.65x at
 # SUB=32, tools/subblock_mt_check.py). 0 = off (single B-wide union).
 SUB = int(os.environ.get("RAYITO_TRAVERSE_SUB", "0"))
-if SUB and (B % SUB or SUB % 8):
-    raise ValueError(
-        f"RAYITO_TRAVERSE_SUB={SUB!r}: must divide B={B} and be a "
-        "multiple of 8 (sublane granularity)"
-    )
+validate_knobs(B, WIDE, SUB)
 NSUB = (B // SUB) if SUB else 1
+# NOTE: B/WIDE/SUB above are module-level env DEFAULTS only. The compiled
+# scene records its own values (SceneData.traverse_b/wide/sub, resolved
+# once in Scene.compile) and trace.py passes them to traverse() — so two
+# processes with different env cannot silently build different kernels
+# for the same compiled SceneData (round-3 verdict weak #8).
 
 
 def _prune_for(any_hit: bool) -> bool:
@@ -412,6 +425,7 @@ def _traverse_kernel(
     p_ref=None,  # [SB, 16] f32 ray-feature scratch ('mxu' only)
     *, n_words: int, tmin: float, mt_mode: str = "vpu", n_chunks: int = 1,
     chunk: int = 0, prune: bool = True, any_hit: bool = False,
+    b: int = B, wide: int = WIDE, sub: int = SUB,
 ):
     """Grid = (ray step, cluster chunk), chunk minor. The per-ray running
     best (packed key + global cluster id) lives in [SB] scratch that
@@ -439,6 +453,8 @@ def _traverse_kernel(
     (prim >= 0) == occluded; t is garbage (callers pass want_t=False).
     vpu mode only: every frozen hit passed the exact in-kernel MT with
     tmax pre-rounded DOWN, so a frozen lane is truly occluded."""
+    rb = SB // b
+    nsub = (b // sub) if sub else 1
     k_id = pl.program_id(1)
 
     @pl.when(k_id == 0)
@@ -470,9 +486,9 @@ def _traverse_kernel(
     c_base = k_id * chunk  # global id of this chunk's first cluster
 
     def ray_block(r, carry):  # fori_loop: ONE copy of the MT machinery
-        # regardless of RB (a static python loop multiplied Mosaic compile
-        # time by RB — >9 min at RB=16)
-        lo = r * B
+        # regardless of rb (a static python loop multiplied Mosaic compile
+        # time by rb — >9 min at rb=16)
+        lo = r * b
 
         # The running best rides the LOOP CARRY as [B, 1] values (vregs),
         # not per-MT scratch slices: a dynamic-slice read/modify/write of
@@ -594,10 +610,10 @@ def _traverse_kernel(
                 mt_mode, mt_key_vpu
             )
 
-        if prune or NSUB == 1:
-            mt_key = make_mt_key(lo, B)
+        if prune or nsub == 1:
+            mt_key = make_mt_key(lo, b)
         if prune:  # hoisted out of the bit-scan: one set per ray-block
-            rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
+            rd = lambda k: soat_ref[0, pl.ds(lo, b), k : k + 1]
             ox, oy, oz = rd(0), rd(1), rd(2)
             ivx, ivy, ivz = 1.0 / rd(3), 1.0 / rd(4), 1.0 / rd(5)
 
@@ -670,16 +686,16 @@ def _traverse_kernel(
                 )
                 return w, bits & (bits - 1), kb, cb
 
-            bits0 = mask_ref[0, 0, NSUB * r, w]
-            for s in range(1, NSUB):  # union of the block's sub-rows
-                bits0 |= mask_ref[0, 0, NSUB * r + s, w]
+            bits0 = mask_ref[0, 0, nsub * r, w]
+            for s in range(1, nsub):  # union of the block's sub-rows
+                bits0 |= mask_ref[0, 0, nsub * r + s, w]
             _, _, kb, cb = jax.lax.while_loop(
                 has_bits, next_bit, (w, bits0, kb, cb)
             )
             return kb, cb
 
-        kb0 = kbest_ref[pl.ds(lo, B), :]
-        cb0 = cbest_ref[pl.ds(lo, B), :]
+        kb0 = kbest_ref[pl.ds(lo, b), :]
+        cb0 = cbest_ref[pl.ds(lo, b), :]
 
         def collect_sub(s, row):
             """Flatten row ``row``'s set mask bits into clist_ref[s]
@@ -710,7 +726,7 @@ def _traverse_kernel(
 
         if prune:
             kb, cb = jax.lax.fori_loop(0, n_words, scan_word, (kb0, cb0))
-        elif NSUB == 1:
+        elif nsub == 1:
             # Lane-carried WIDE path. The running best rides as PER-LANE
             # [B, KTRI] mins — one compare + two selects per cluster
             # instead of a 128-lane min-reduce — and a single reduce per
@@ -730,20 +746,20 @@ def _traverse_kernel(
 
             def wide_step(s):
                 i, kbl, cbl = s
-                # WIDE independent mt_key chains: Mosaic interleaves their
+                # `wide` independent mt_key chains: Mosaic interleaves their
                 # issue slots (the block is latency-bound, not issue-bound)
-                cs = [clist_ref[0, i + j] for j in range(WIDE)]
+                cs = [clist_ref[0, i + j] for j in range(wide)]
                 keys = [mt_key(c, None) for c in cs]
                 # fold ascending — strict < keeps the EARLIEST (lowest
                 # cluster id) on key ties, matching the sequential scan
                 k_sel, c_sel = keys[0], c_base + cs[0]
-                for j in range(1, WIDE):
+                for j in range(1, wide):
                     bj = keys[j] < k_sel
                     k_sel = jnp.where(bj, keys[j], k_sel)
                     c_sel = jnp.where(bj, c_base + cs[j], c_sel)
                 better = k_sel < kbl
                 return (
-                    i + WIDE,
+                    i + wide,
                     jnp.where(better, k_sel, kbl),
                     jnp.where(better, c_sel, cbl),
                 )
@@ -760,14 +776,14 @@ def _traverse_kernel(
 
             # init every column's bound at the block's current best;
             # sentinel cluster ids mark never-updated columns
-            nfull = cnt - jax.lax.rem(cnt, jnp.int32(WIDE))
+            nfull = cnt - jax.lax.rem(cnt, jnp.int32(wide))
             st = jax.lax.while_loop(
                 lambda s: s[0] < nfull,
                 wide_step,
                 (
                     jnp.int32(0),
-                    jnp.broadcast_to(kb0, (B, KTRI)),
-                    jnp.full((B, KTRI), _IMAX, jnp.int32),
+                    jnp.broadcast_to(kb0, (b, KTRI)),
+                    jnp.full((b, KTRI), _IMAX, jnp.int32),
                 ),
             )
             _, kbl, cbl = jax.lax.while_loop(
@@ -802,17 +818,17 @@ def _traverse_kernel(
             # at SUB granularity only the 32-ray sub can — so SUB mode is
             # equivalent-in-practice (parity suite green), not formally
             # bit-identical on such edge rays.
-            cnts = [collect_sub(s, NSUB * r + s) for s in range(NSUB)]
+            cnts = [collect_sub(s, nsub * r + s) for s in range(nsub)]
             mxcnt = cnts[0]
-            for s in range(1, NSUB):
+            for s in range(1, nsub):
                 mxcnt = jnp.maximum(mxcnt, cnts[s])
-            mt_keys = [make_mt_key(lo + s * SUB, SUB) for s in range(NSUB)]
-            kb0s = [kb0[s * SUB : (s + 1) * SUB] for s in range(NSUB)]
+            mt_keys = [make_mt_key(lo + s * sub, sub) for s in range(nsub)]
+            kb0s = [kb0[s * sub : (s + 1) * sub] for s in range(nsub)]
 
             def lock_step(st):
                 j = st[0]
                 kbls, cbls = list(st[1]), list(st[2])
-                for s in range(NSUB):
+                for s in range(nsub):
                     i = jnp.maximum(jnp.minimum(j, cnts[s] - 1), 0)
                     c = clist_ref[s, i]
                     key = mt_keys[s](c, None)
@@ -827,17 +843,17 @@ def _traverse_kernel(
                 (
                     jnp.int32(0),
                     tuple(
-                        jnp.broadcast_to(kb0s[s], (SUB, KTRI))
-                        for s in range(NSUB)
+                        jnp.broadcast_to(kb0s[s], (sub, KTRI))
+                        for s in range(nsub)
                     ),
                     tuple(
-                        jnp.full((SUB, KTRI), _IMAX, jnp.int32)
-                        for s in range(NSUB)
+                        jnp.full((sub, KTRI), _IMAX, jnp.int32)
+                        for s in range(nsub)
                     ),
                 ),
             )
             kparts, cparts = [], []
-            for s in range(NSUB):
+            for s in range(nsub):
                 kmin = jnp.min(kbls[s], axis=1, keepdims=True)
                 imp = kmin < kb0s[s]
                 cwin = jnp.min(
@@ -846,15 +862,15 @@ def _traverse_kernel(
                 )
                 kparts.append(jnp.where(imp, kmin, kb0s[s]))
                 cparts.append(
-                    jnp.where(imp, cwin, cb0[s * SUB : (s + 1) * SUB])
+                    jnp.where(imp, cwin, cb0[s * sub : (s + 1) * sub])
                 )
             kb = jnp.concatenate(kparts, axis=0)
             cb = jnp.concatenate(cparts, axis=0)
-        kbest_ref[pl.ds(lo, B), :] = kb
-        cbest_ref[pl.ds(lo, B), :] = cb
+        kbest_ref[pl.ds(lo, b), :] = kb
+        cbest_ref[pl.ds(lo, b), :] = cb
         return carry
 
-    jax.lax.fori_loop(0, RB, ray_block, 0)
+    jax.lax.fori_loop(0, rb, ray_block, 0)
 
     @pl.when(k_id == n_chunks - 1)
     def _emit():
@@ -881,11 +897,15 @@ if TRI_CHUNK <= 0 or TRI_CHUNK % 32:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tmin", "interpret", "mt_mode", "prune", "any_hit"),
+    static_argnames=(
+        "tmin", "interpret", "mt_mode", "prune", "any_hit", "b", "wide",
+        "sub",
+    ),
 )
 def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
                      mt_mode: str = "vpu", prune: bool = True,
-                     any_hit: bool = False):
+                     any_hit: bool = False, b: int = B, wide: int = WIDE,
+                     sub: int = SUB):
     """masks: [n_blocks, n_words] i32; soat: [n_steps, SB, 8] f32;
     tri: [C, 16, KTRI] triangles ('vpu') or [C, 16, 4*KTRI] MXU weight
     blocks ('mxu'); box: [8, C_pad] cluster slab rows (prune operand).
@@ -906,7 +926,8 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
     # wider tables (mxu weights are 4x KTRI lanes) stream in proportionally
     # smaller chunks so the per-chunk VMEM footprint stays constant
     eff_chunk = max(32, (TRI_CHUNK * KTRI // lanes) // 32 * 32)
-    rbm = RB * NSUB  # mask rows per grid step (NSUB sub-rows per block)
+    nsub = (b // sub) if sub else 1
+    rbm = (SB // b) * nsub  # mask rows per grid step (nsub sub-rows/block)
     if c <= eff_chunk:
         n_chunks, chunk = 1, max(c, 1)
         nw = masks.shape[1]
@@ -968,7 +989,7 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
         pltpu.VMEM((SB, 1), jnp.int32),  # cbest (global cluster id)
         # per-(ray-block, sub) cluster worklists for the lane-carried scan
         # (chunk-local ids, so nw*32 entries bound each; <= 8 KB of SMEM)
-        pltpu.SMEM((NSUB, nw * 32), jnp.int32),
+        pltpu.SMEM((nsub, nw * 32), jnp.int32),
     ]
     if mt_mode == "mxu":
         scratch.append(pltpu.VMEM((SB, 16), jnp.float32))  # ray features P
@@ -1006,6 +1027,7 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
         functools.partial(
             _traverse_kernel, n_words=nw, tmin=tmin, mt_mode=mt_mode,
             n_chunks=n_chunks, chunk=chunk, prune=prune, any_hit=any_hit,
+            b=b, wide=wide, sub=sub,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_steps, SB, 1), jnp.float32),
@@ -1063,8 +1085,8 @@ def _mask_kernel(
     soat_ref,  # [1, SB, 8] f32 rays (same layout as the traversal kernel)
     box_ref,  # [8, C_pad] f32 cluster slab rows
     pack_ref,  # [G*1024, 64] f32 per-group bit-pack weights (lo | hi cols)
-    out_ref,  # [1, RB*NSUB, G*64] f32 packed halves, combined outside
-    *, tmin: float, n_words: int,
+    out_ref,  # [1, rb*nsub, G*64] f32 packed halves, combined outside
+    *, tmin: float, n_words: int, b: int = B, sub: int = SUB,
 ):
     """Per-ray-block cluster masks, VMEM-resident. The XLA version of this
     computation fused perfectly in isolation (1.74 ms/131k rays) but inside
@@ -1085,6 +1107,8 @@ def _mask_kernel(
     stage-6 occupancy a third or more of (launch, step) pairs are fully
     dead."""
     del n_words
+    rb = SB // b
+    nsub = (b // sub) if sub else 1
     box = box_ref[...]
     step_alive = jnp.max(soat_ref[0, :, 6:7]) > 0.0
 
@@ -1093,8 +1117,8 @@ def _mask_kernel(
         out_ref[...] = jnp.zeros_like(out_ref)
 
     def ray_block(r, carry):
-        lo = r * B
-        rd = lambda k: soat_ref[0, pl.ds(lo, B), k : k + 1]
+        lo = r * b
+        rd = lambda k: soat_ref[0, pl.ds(lo, b), k : k + 1]
         ox, oy, oz = rd(0), rd(1), rd(2)
         dx, dy, dz = rd(3), rd(4), rd(5)
         tmax = rd(6)
@@ -1117,18 +1141,18 @@ def _mask_kernel(
             far >= tmin
         )
         hf = hit.astype(jnp.float32)
-        if NSUB == 1:
+        if nsub == 1:
             any_hit = jnp.max(hf, axis=0, keepdims=True)
         else:
-            # per-SUB-ray-group any-hit rows (static slices of the one
-            # shared [B, C_pad] slab result — the slab work is unchanged)
+            # per-sub-ray-group any-hit rows (static slices of the one
+            # shared [b, C_pad] slab result — the slab work is unchanged)
             any_hit = jnp.concatenate(
                 [
-                    jnp.max(hf[s * SUB : (s + 1) * SUB], 0, keepdims=True)
-                    for s in range(NSUB)
+                    jnp.max(hf[s * sub : (s + 1) * sub], 0, keepdims=True)
+                    for s in range(nsub)
                 ],
                 axis=0,
-            )  # [NSUB, C_pad]
+            )  # [nsub, C_pad]
         # one [NSUB, <=1024] x [<=1024, 64] pack matmul per 1024-cluster
         # group (static loop; G=1 for <=1024 clusters) -> [NSUB, G*64]
         groups = (pack_ref.shape[0]) // 1024
@@ -1140,12 +1164,12 @@ def _mask_kernel(
                 ah_g, w_g, preferred_element_type=jnp.float32
             ))
         halves = parts[0] if groups == 1 else jnp.concatenate(parts, axis=1)
-        out_ref[0, pl.ds(r * NSUB, NSUB), :] = halves
+        out_ref[0, pl.ds(r * nsub, nsub), :] = halves
         return carry
 
     @pl.when(step_alive)
     def _work():
-        jax.lax.fori_loop(0, RB, ray_block, 0)
+        jax.lax.fori_loop(0, rb, ray_block, 0)
 
 
 def _pack_weights(c_pad: int, n_words: int):
@@ -1170,18 +1194,24 @@ def _pack_weights(c_pad: int, n_words: int):
     return jnp.asarray(wts)
 
 
-@functools.partial(jax.jit, static_argnames=("tmin", "n_words", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tmin", "n_words", "interpret", "b", "sub")
+)
 def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
-                        interpret: bool):
+                        interpret: bool, b: int = B, sub: int = SUB):
     """soat: [n_steps, SB, 8] f32. Returns [n_blocks, n_words] i32 masks
     (same contract as _block_masks)."""
     n_steps = soat.shape[0]
+    nsub = (b // sub) if sub else 1
+    rbm = (SB // b) * nsub
     box = jnp.asarray(cl_box)
     c_pad = box.shape[1]
     groups = max(1, -(-n_words // 32))
     wts = _pack_weights(c_pad, n_words)
     halves = pl.pallas_call(
-        functools.partial(_mask_kernel, tmin=float(tmin), n_words=n_words),
+        functools.partial(
+            _mask_kernel, tmin=float(tmin), n_words=n_words, b=b, sub=sub
+        ),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, SB, 8), lambda i: (i, 0, 0),
@@ -1191,18 +1221,18 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
             pl.BlockSpec((groups * 1024, 64), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RB * NSUB, groups * 64),
+        out_specs=pl.BlockSpec((1, rbm, groups * 64),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (n_steps, RB * NSUB, groups * 64), jnp.float32
+            (n_steps, rbm, groups * 64), jnp.float32
         ),
         interpret=interpret,
     )(soat, box, wts)
-    h4 = halves.reshape(n_steps, RB * NSUB, groups, 64)
+    h4 = halves.reshape(n_steps, rbm, groups, 64)
     lo = h4[..., 0:32].astype(jnp.int32)
     hi = h4[..., 32:64].astype(jnp.int32)
-    words = (lo | (hi << 16)).reshape(n_steps * RB * NSUB, groups * 32)
+    words = (lo | (hi << 16)).reshape(n_steps * rbm, groups * 32)
     return words[:, :n_words]
 
 
@@ -1308,7 +1338,9 @@ def _coherence_key(ox, oy, oz, dx, dy, dz, tmax, cl_box, tmin):
 def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              interpret: bool | None = None, sort_rays: bool | None = None,
              want_t: bool = True, mt_mode: str = "vpu",
-             any_hit: bool = False, items: bool | None = None):
+             any_hit: bool = False, items: bool | None = None,
+             b: int | None = None, wide: int | None = None,
+             sub: int | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1332,6 +1364,14 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     del n_active
     if any_hit and mt_mode == "mxu":
         raise ValueError("any_hit requires exact in-kernel tests (vpu)")
+    # block knobs: explicit (compile-time SceneData values, the production
+    # path via trace.py) or the module-level env defaults (direct callers)
+    b = B if b is None else int(b)
+    wide = WIDE if wide is None else int(wide)
+    sub = SUB if sub is None else int(sub)
+    validate_knobs(b, wide, sub)
+    nsub = (b // sub) if sub else 1
+    rbm = (SB // b) * nsub
     n = o.x.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1411,51 +1451,66 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         # at the old 1024-cluster cap: its [N, C] slab fusions measured
         # ~40 ms/frame, 3.4x the whole Pallas mask bill.)
         masks = _block_masks_pallas(
-            soat, tables.cl_box, float(tmin), n_words, bool(interpret)
+            soat, tables.cl_box, float(tmin), n_words, bool(interpret),
+            b=b, sub=sub,
         )
     else:  # >4096 clusters: slab intermediates exceed VMEM — XLA path
         masks = _block_masks(
             col(0), col(1), col(2),
             1.0 / col(3), 1.0 / col(4), 1.0 / col(5),
-            float(tmin), col(6), tables.cl_box, n_steps * RB * NSUB,
+            float(tmin), col(6), tables.cl_box, n_steps * rbm,
         )
 
     if items is None:
         items = os.environ.get("RAYITO_TRAVERSE_ITEMS", "0") == "1"
     use_items = (
         items
-        and NSUB == 1
+        and nsub == 1
         and mt_mode != "mxu"
         and not _prune_for(any_hit)
+        # the packed item word gives the cluster id _CIDBITS bits; a domain
+        # beyond that (>1M tris at KTRI=128) would silently corrupt bid
+        and jnp.asarray(tables.tri).shape[0] <= (1 << _CIDBITS)
     )
-    if use_items:
-        # EXPERIMENTAL item-grid path (see the Item-grid section above).
-        # Overflow caveat: item lists beyond ITEMS_MAX / per-block ITEMS_CAP
-        # are truncated by _build_items' static shapes — the overflow flag
-        # is returned but not yet acted on (a lax.cond fallback to the scan
-        # kernel is the production plan if this path wins its A/B).
-        items, n_steps_g, _overflow, block_used = _build_items(
-            masks, ITEMS_W, ITEMS_MAX, ITEMS_CAP
-        )
-        t_ib, p_ib = _traverse_items(
-            items, n_steps_g, soat.reshape(n_steps * RB, B, 8),
-            jnp.asarray(tables.tri), tmin=float(tmin),
-            interpret=bool(interpret), mt_mode=mt_mode, w=ITEMS_W,
-            maxitems=ITEMS_MAX,
-        )
-        valid = jnp.repeat(block_used, B)
-        t_bn = jnp.where(valid, t_ib.reshape(-1), _INF).reshape(
-            n_steps, SB, 1
-        )
-        p_bn = jnp.where(valid, p_ib.reshape(-1), -1).reshape(
-            n_steps, SB, 1
-        )
-    else:
-        t_bn, p_bn = _traverse_blocks(
+
+    def _run_blocks(_=None):
+        return _traverse_blocks(
             masks, soat, tables.tri, jnp.asarray(tables.cl_box),
             tmin=float(tmin), interpret=bool(interpret), mt_mode=mt_mode,
-            prune=_prune_for(any_hit), any_hit=any_hit,
+            prune=_prune_for(any_hit), any_hit=any_hit, b=b, wide=wide,
+            sub=sub,
         )
+
+    if use_items:
+        # EXPERIMENTAL item-grid path (see the Item-grid section above).
+        # Item lists beyond ITEMS_MAX / per-block ITEMS_CAP are truncated
+        # by _build_items' static shapes; the overflow flag routes such
+        # launches to the scan kernel so results are never silently wrong
+        # (the bounce population overflows any practical budget — measured
+        # in tools/items_ab.py — so this cond is load-bearing, not theory).
+        item_list, n_steps_g, overflow, block_used = _build_items(
+            masks, ITEMS_W, ITEMS_MAX, ITEMS_CAP
+        )
+
+        def _run_items(_=None):
+            t_ib, p_ib = _traverse_items(
+                item_list, n_steps_g, soat.reshape(n_steps * (SB // b), b, 8),
+                jnp.asarray(tables.tri), tmin=float(tmin),
+                interpret=bool(interpret), mt_mode=mt_mode, w=ITEMS_W,
+                maxitems=ITEMS_MAX,
+            )
+            valid = jnp.repeat(block_used, b)
+            t_i = jnp.where(valid, t_ib.reshape(-1), _INF).reshape(
+                n_steps, SB, 1
+            )
+            p_i = jnp.where(valid, p_ib.reshape(-1), -1).reshape(
+                n_steps, SB, 1
+            )
+            return t_i, p_i
+
+        t_bn, p_bn = jax.lax.cond(overflow, _run_blocks, _run_items)
+    else:
+        t_bn, p_bn = _run_blocks()
     if mode == "off":
         t = t_bn.reshape(n_steps * SB)
         prim = p_bn.reshape(n_steps * SB)

@@ -28,11 +28,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Experiment knob (import-time constant, like pallas_traverse.B): sort
-# occlusion launches by the coherence key (default) or keep wavefront
-# (pixel) order. Measured on stage-6: sorted wins — see BENCH_NOTES.md.
-_SORT_OCCL = os.environ.get("RAYITO_SORT_OCCL", "1") != "0"
-
 from ..models.scene import SceneData
 from ..ops import transform as xf
 from ..ops.intersect import (
@@ -520,7 +515,8 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
         o_l, d_l, rotation = _domain_local_ray(scene, di, o, d, time)
         _, p_d = traverse(
             o_l, d_l, jnp.minimum(t_best, tmax), _domain_view(scene, di, mt),
-            tmin, want_t=False, mt_mode=mt,
+            tmin, want_t=False, mt_mode=mt, b=scene.traverse_b,
+            wide=scene.traverse_wide, sub=scene.traverse_sub,
         )
         # winner re-test per domain: exact t + barycentrics + shading meta
         # from ONE fused 32-col row gather (the kernel's packed key carries
@@ -771,7 +767,9 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
             _, p_d = traverse(
                 o_l, d_l, jnp.where(occluded, 0.0, tq_dn),
                 _domain_view(scene, di, mt), tmin, want_t=False,
-                mt_mode=mt, sort_rays=None if _SORT_OCCL else False,
+                mt_mode=mt, sort_rays=None if scene.sort_occl else False,
+                b=scene.traverse_b, wide=scene.traverse_wide,
+                sub=scene.traverse_sub,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
                 # mxu/bw paths' approximate winners need the re-test below)

@@ -279,13 +279,16 @@ def test_packed_vm_rows_parity(monkeypatch):
     monkeypatch.setenv("RAYITO_PACKED_ROWS", "1")
     scene = _static_two_mesh_scene(traversal="pallas")
     assert scene.tri_vm_packed.shape[0] > 0
+    # the padded table is no longer shipped alongside the packed one
+    # (dead HBM) — compile the unpacked variant separately
+    assert scene.tri_vm_rows.shape[0] == 0
+    monkeypatch.setenv("RAYITO_PACKED_ROWS", "0")
+    unpacked = _static_two_mesh_scene(traversal="pallas")
+    assert unpacked.tri_vm_packed.shape[0] == 0
     n = 512
     o, d = _random_rays(n, seed=23)
     t = jnp.zeros((n,), jnp.float32)
     tmax = jnp.full((n,), 1e30, jnp.float32)
-    unpacked = dataclasses.replace(
-        scene, tri_vm_packed=jnp.zeros((0, 128), jnp.float32)
-    )
     got = scene_intersect(scene, o, d, t, 1e-4, tmax)
     ref = scene_intersect(unpacked, o, d, t, 1e-4, tmax)
     assert np.asarray(ref.valid).sum() > n // 16
@@ -293,6 +296,35 @@ def test_packed_vm_rows_parity(monkeypatch):
         jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(ref)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_traverse_knobs_thread_through_scene():
+    """The kernel block knobs are compile-time SceneData fields
+    (traverse_b/wide/sub — round-3 verdict weak #8): trace.py must pass
+    the SCENE's values to every launch, and since the knobs are pure
+    scheduling, any legal setting produces the identical Hit."""
+    scene = _static_two_mesh_scene(traversal="pallas")
+    assert (scene.traverse_b, scene.traverse_wide, scene.traverse_sub) == (
+        128, 4, 0
+    )
+    n = 384
+    o, d = _random_rays(n, seed=31)
+    t = jnp.zeros((n,), jnp.float32)
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    base = scene_intersect(scene, o, d, t, 1e-4, tmax)
+    assert np.asarray(base.valid).sum() > n // 16
+    for kw in (
+        {"traverse_b": 64},
+        {"traverse_b": 256},
+        {"traverse_wide": 1},
+        {"traverse_sub": 32},
+    ):
+        var = dataclasses.replace(scene, **kw)
+        got = scene_intersect(var, o, d, t, 1e-4, tmax)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(base)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.slow
@@ -328,7 +360,12 @@ def test_packed_vm_rows_auto_threshold():
     t = big.n_tris
     assert t > 96 * 1024
     assert big.tri_vm_packed.shape == ((t + 3) // 4, 128)
+    # packed scenes drop the padded [T, 32] table (dead HBM); its logical
+    # content is vert|meta fused rows — reconstruct and compare
+    assert big.tri_vm_rows.shape[0] == 0
+    vm = np.concatenate(
+        [np.asarray(big.tri_vert_rows), np.asarray(big.tri_meta_rows)], axis=1
+    )
     np.testing.assert_array_equal(
-        np.asarray(big.tri_vm_packed).reshape(-1)[: t * 32],
-        np.asarray(big.tri_vm_rows).reshape(-1),
+        np.asarray(big.tri_vm_packed).reshape(-1)[: t * 32], vm.reshape(-1)
     )

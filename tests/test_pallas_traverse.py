@@ -119,18 +119,14 @@ def test_kernel_wide_sweep_bit_identical(monkeypatch):
     dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
 
     outs = {}
-    try:
-        for w in (1, 3, pt.WIDE, 8):
-            monkeypatch.setattr(pt, "WIDE", w)
-            jax.clear_caches()  # WIDE is baked at trace time, not a jit key
-            t_k, p_k = traverse(
-                ov, dv, jnp.asarray(tmax), tbl, 1e-4, interpret=True,
-                sort_rays=False,
-            )
-            outs[w] = (np.asarray(t_k), np.asarray(p_k))
-    finally:
-        monkeypatch.undo()
-        jax.clear_caches()
+    # wide is a first-class traverse() knob now (compile-time resolved via
+    # SceneData.traverse_wide in production) — no monkeypatching needed
+    for w in (1, 3, pt.WIDE, 8):
+        t_k, p_k = traverse(
+            ov, dv, jnp.asarray(tmax), tbl, 1e-4, interpret=True,
+            sort_rays=False, wide=w,
+        )
+        outs[w] = (np.asarray(t_k), np.asarray(p_k))
     ref_t, ref_p = outs[1]
     assert np.isfinite(ref_t).sum() > 100  # meaningful coverage
     for w, (t_k, p_k) in outs.items():
@@ -380,6 +376,42 @@ def test_items_grid_bit_identical(monkeypatch):
     finally:
         monkeypatch.undo()
         jax.clear_caches()
+
+
+def test_items_overflow_falls_back_to_scan_kernel(monkeypatch):
+    """An item list beyond ITEMS_MAX / per-block ITEMS_CAP must NOT be
+    silently truncated (round-3 advisor, medium): the overflow flag routes
+    the launch through a lax.cond to the scan kernel, so results stay
+    bit-identical to items=False even when the budget is absurdly small."""
+    from rayito_tpu.render import pallas_traverse as pt
+
+    centers, v0, v1, v2 = _geometry(500, seed=21)
+    rs = np.random.default_rng(22)
+    n = 400
+    o = (centers.mean(0) + rs.normal(0, 20, (n, 3))).astype(np.float32)
+    tgt = centers[rs.integers(0, 500, n)]
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(n, np.inf, np.float32)
+    valid = np.ones(500, bool)
+    tbl = _Tbl(build_kernel_tables(v0, v1, v2, valid))
+    ov = V3(*(jnp.asarray(o[:, k]) for k in range(3)))
+    dv = V3(*(jnp.asarray(d[:, k]) for k in range(3)))
+
+    # a 8-item budget is overflowed by any real launch here
+    monkeypatch.setattr(pt, "ITEMS_MAX", 8)
+    monkeypatch.setattr(pt, "ITEMS_CAP", 4)
+    t_s, p_s = traverse(
+        ov, dv, jnp.asarray(tmax), tbl, 1e-4, interpret=True,
+        sort_rays=False, items=False,
+    )
+    t_i, p_i = traverse(
+        ov, dv, jnp.asarray(tmax), tbl, 1e-4, interpret=True,
+        sort_rays=False, items=True,
+    )
+    assert np.isfinite(np.asarray(t_s)).sum() > 100
+    np.testing.assert_array_equal(np.asarray(t_i), np.asarray(t_s))
+    np.testing.assert_array_equal(np.asarray(p_i), np.asarray(p_s))
 
 
 def test_items_build_overflow_and_alignment():
