@@ -28,6 +28,7 @@ from rayito_tpu.models.camera import PerspectiveCamera
 from rayito_tpu.models.demo import (
     STAGE6_CAMERA,
     STAGE7_SCENE2_CAMERA,
+    big_streamed_scene,
     stage6_scene,
     stage7_scene2,
 )
@@ -89,6 +90,10 @@ def main():
         "--skip-motion", action="store_true",
         help="headline stage-6 metric only (skip the stage-7b extra)",
     )
+    ap.add_argument(
+        "--skip-big", action="store_true",
+        help="skip the 245k-triangle streamed-scene extra",
+    )
     args = ap.parse_args()
 
     cfg6 = RenderConfig(
@@ -136,6 +141,26 @@ def main():
         )
         extra["stage7b_motion_path_trace"] = round(
             time_config(scene7, cam7, cfg7), 3
+        )
+
+    if not args.skip_big:
+        # 245k-triangle streamed-kernel scene (VERDICT r3 item 5): the
+        # design's worst tracked number — union density across 5
+        # overlapping instances — recorded in the driver artifact so it
+        # cannot silently regress (BENCH_NOTES.md "Big-scene datapoint")
+        cfg_big = RenderConfig(
+            width=512,
+            height=512,
+            pixel_samples=1,
+            light_samples=1,
+            max_depth=3,
+            aspect_correction=True,
+            max_rays_per_pass=1 << 17,
+        )
+        scene_big = big_streamed_scene().compile()
+        cam_big = PerspectiveCamera.make(40.0, *STAGE6_CAMERA)
+        extra["big_245k_streamed_path_trace"] = round(
+            time_config(scene_big, cam_big, cfg_big, frames=3), 3
         )
 
     print(

@@ -162,40 +162,46 @@ def main(argv=None):
             shutter_open=args.shutter[0],
             shutter_close=args.shutter[1],
         )
+        from .render.progressive import render_progressive
+
+        mesh = None
         if args.sharded:
-            from .parallel.sharding import render_path_sharded
+            from .parallel.sharding import make_mesh
 
-            img = render_path_sharded(scene, cfg, camera)
-            stats_line = " (sharded)"
-        else:
-            from .render.progressive import render_progressive
-
-            viewer = None
-            if args.view is not None:
-                from .utils.viewer import LiveViewer
-
-                viewer = LiveViewer(port=args.view, exposure=args.exposure,
-                                    gamma=args.gamma)
-                print(
-                    f"[rayito_tpu] live preview at http://localhost:"
-                    f"{viewer.port}/",
-                    file=sys.stderr,
-                )
-            img, stats = render_progressive(
-                scene,
-                cfg,
-                camera,
-                checkpoint_path=args.checkpoint,
-                checkpoint_every=args.checkpoint_every,
-                on_preview=viewer.on_preview if viewer else None,
+            mesh = make_mesh()
+            print(
+                f"[rayito_tpu] sharding the wavefront over "
+                f"{mesh.devices.size} device(s)",
+                file=sys.stderr,
             )
-            if viewer:
-                viewer.update(img, stats)
-            stats_line = (
-                f" rays={stats.rays_traced / 1e6:.1f}M"
-                f" throughput={stats.mrays_per_sec:.2f} Mrays/s"
-                + (f" OVERFLOW={stats.overflow}" if stats.overflow else "")
+        viewer = None
+        if args.view is not None:
+            from .utils.viewer import LiveViewer
+
+            viewer = LiveViewer(port=args.view, exposure=args.exposure,
+                                gamma=args.gamma)
+            print(
+                f"[rayito_tpu] live preview at http://localhost:"
+                f"{viewer.port}/",
+                file=sys.stderr,
             )
+        img, stats = render_progressive(
+            scene,
+            cfg,
+            camera,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            on_preview=viewer.on_preview if viewer else None,
+            mesh=mesh,
+        )
+        if viewer:
+            viewer.update(img, stats)
+        stats_line = (
+            (f" (sharded x{mesh.devices.size})" if mesh is not None else "")
+            + f" rays={stats.rays_traced / 1e6:.1f}M"
+            f" throughput={stats.mrays_per_sec:.2f} Mrays/s"
+            + (f" OVERFLOW={stats.overflow}" if stats.overflow else "")
+        )
 
     dt = time.perf_counter() - t1
     diag = diagnose(img)

@@ -203,6 +203,47 @@ def stage6_scene(obj_path: str = "/root/reference/models/bumpy.obj") -> Scene:
 STAGE6_CAMERA = ((-2.0, 5.0, 15.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
 
 
+def big_streamed_scene(
+    obj_path: str = "/root/reference/models/bumpy.obj",
+) -> Scene:
+    """Scale stressor (no reference analogue — exercises the streamed
+    cluster-chunk kernel, BENCH_NOTES.md "Big-scene datapoint"): 5 shifted
+    bumpy.obj instances (~245k triangles, ~1900 clusters, ONE merged
+    world-space traversal domain whose table streams through VMEM in
+    TRI_CHUNK-cluster blocks) over a ground plane under one area light.
+    Tracked as a bench.py extra so the design's worst number — union
+    density across overlapping instances — cannot silently regress."""
+    import numpy as np
+
+    from .obj import load_obj
+    from .scene import TriangleMesh
+
+    mesh0 = load_obj(obj_path, DiffuseMaterial((0.5, 0.5, 0.5)))
+    if mesh0 is None:
+        raise FileNotFoundError(obj_path)
+    verts = np.asarray(mesh0.vertices, np.float32)
+    idx = np.asarray(mesh0.indices, np.int32)
+    s = Scene()
+    s.add(Plane((0.0, -2.0, 0.0), (0.0, 1.0, 0.0),
+                DiffuseMaterial((0.7, 0.7, 0.7))))
+    mats = [DiffuseMaterial((0.8, 0.3, 0.2)),
+            GlossyMaterial((0.3, 0.7, 0.3), 0.25),
+            DiffuseMaterial((0.3, 0.3, 0.8)),
+            GlossyMaterial((0.8, 0.8, 0.2), 0.15),
+            DiffuseMaterial((0.7, 0.4, 0.7))]
+    offs = [(-5.0, 0, 0), (-2.5, 1.0, -2.0), (0.0, 0, 0),
+            (2.5, 1.0, -2.0), (5.0, 0, 0)]
+    for off, mat in zip(offs, mats):
+        s.add(TriangleMesh(
+            vertices=verts + np.asarray(off, np.float32),
+            indices=idx, material=mat,
+            normals=mesh0.normals, normal_indices=mesh0.normal_indices,
+        ))
+    s.add(RectangleLight((-4, 10, -4), (8, 0, 0), (0, 0, 8),
+                         (1.0, 1.0, 1.0), 3.0))
+    return s
+
+
 def stage3_scene() -> Scene:
     """Bullseye plane, lambert+phong spheres, rect light, sphere ShapeLight
     (Rayito_Stage3/main.cpp:164-201). Stage 4's scene is identical

@@ -2,14 +2,23 @@
 
 TPU-native replacement for the reference's 4×4-tile QThread decomposition
 (Rayito_Stage7_QT/RaytraceMain.cpp:502-568, SURVEY §2.9): instead of 16 OS
-threads over fixed image tiles, the whole frame's SoA ray wavefront is
-sharded across a 1-D `jax.sharding.Mesh` with `shard_map`. The scene (flat
-arrays + BVH) is replicated into each chip's HBM; paths are embarrassingly
+threads over fixed image tiles, the frame's SoA ray wavefront is sharded
+across a 1-D `jax.sharding.Mesh` with `shard_map`. The scene (flat arrays +
+BVH tables) is replicated into each chip's HBM; paths are embarrassingly
 parallel so NO collectives run during bouncing; the framebuffer shards ride
 back on the out-sharding (the "psum-free gather of pixel buffers" named in
 BASELINE.json). Per-lane counter-based CMJ seeding keeps the image
 bit-identical regardless of device count — the same determinism guarantee as
 the reference's tile-seeded RNG (RaytraceMain.cpp:66-70), strengthened.
+
+Like the reference's tile loop handling any w×h (RaytraceMain.cpp:504-516),
+arbitrary frame sizes are handled by LAUNCH CHUNKING: no single dispatch ever
+carries more than ``config.max_rays_per_pass`` lanes PER DEVICE (the same
+wave budget the single-chip row-band machinery enforces,
+render/pathtracer.py). Launches have uniform lane counts so the whole frame
+compiles to at most two executables (body + ragged tail); tail padding lanes
+are marked inactive so they trace with tmax 0 and never reach the issued-
+query counter.
 """
 
 from __future__ import annotations
@@ -37,13 +46,9 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (TILE_AXIS,))
 
 
-@partial(
-    jax.jit, static_argnames=("config", "mesh_axes", "n_pad"),
-)
-def _sharded_pass(scene, config, camera, px, py, si, mesh_axes, n_pad):
-    del n_pad  # shape is already padded; kept for cache keying clarity
-
-    def shard_fn(scene, camera, px, py, si):
+@partial(jax.jit, static_argnames=("config", "mesh_axes"))
+def _sharded_pass(scene, config, camera, px, py, si, active, mesh_axes):
+    def shard_fn(scene, camera, px, py, si, active):
         ps = config.pixel_samples
         jx, jy = _subpixel_jitter(config, px, py, si, ps, ps)
         xu, yu = screen_uv(config, px, py, jx, jy)
@@ -58,7 +63,7 @@ def _sharded_pass(scene, config, camera, px, py, si, mesh_axes, n_pad):
         time_u = rngo.cmj_sample_1d(si.astype(jnp.uint32), ps * ps, perm_time)
         o, d, t = camera.make_rays(xu, yu, lens_u, lens_v, time_u)
         rad, overflow, queries = pathtrace_wave(
-            scene, config, o, d, t, px, py, si
+            scene, config, o, d, t, px, py, si, active=active
         )
         # per-shard scalars ride back as [1]-shaped shards (no collective)
         return (
@@ -70,18 +75,135 @@ def _sharded_pass(scene, config, camera, px, py, si, mesh_axes, n_pad):
     # weak #2). Loop carries in render/ that init fresh constants are
     # wrapped in utils.vma.carry_init, which pcasts them to varying ONLY
     # while this context is active — the axis name never leaves this module.
+    #
+    # One carve-out: the Pallas traversal kernel run through the INTERPRETER
+    # (CPU tests of the production kernel×shard_map combination). jax 0.9's
+    # HLO interpreter re-evaluates the kernel grid loop under the checker
+    # and its own block dynamic_slices mix varying operands with replicated
+    # indices — jax itself errors with "as a temporary workaround pass the
+    # check_vma=False argument to `jax.shard_map`". Compiled TPU runs keep
+    # checking on (the lowered kernel is opaque to the checker; its out
+    # avals carry utils.vma.out_struct's declared vma).
     from ..utils import vma
 
-    with vma.varying_axis(TILE_AXIS):
+    pallas_interp = (
+        scene.traversal == "pallas" and jax.default_backend() != "tpu"
+    )
+    ctx = vma.varying_axis(TILE_AXIS)
+    if pallas_interp:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
         return jax.shard_map(
             shard_fn,
             mesh=mesh_axes,
-            in_specs=(P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+            check_vma=not pallas_interp,
+            in_specs=(
+                P(), P(),
+                P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS),
+            ),
             out_specs=(
                 P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS),
                 P(TILE_AXIS), P(TILE_AXIS),
             ),
-        )(scene, camera, px, py, si)
+        )(scene, camera, px, py, si, active)
+
+
+def _lane_pixel_arrays(lo: int, hi: int, width: int, n_pix: int):
+    """(px, py, si) int32 for flat lane indices [lo, hi) of the spp-major
+    frame grid: lane = si * (w*h) + py * w + px. Generated per launch so a
+    large frame never materializes the whole grid host-side."""
+    lanes = np.arange(lo, hi, dtype=np.int64)
+    si = (lanes // n_pix).astype(np.int32)
+    p = (lanes % n_pix).astype(np.int32)
+    return (p % width).astype(np.int32), (p // width).astype(np.int32), si
+
+
+def sharded_lane_range(
+    scene: SceneData,
+    config: RenderConfig,
+    camera: PerspectiveCamera,
+    mesh: Mesh,
+    lane_lo: int,
+    lane_hi: int,
+    out: np.ndarray,
+):
+    """Render flat lane indices [lane_lo, lane_hi) of the spp-major frame
+    grid, accumulating mean-free radiance SUMS into ``out`` (float32
+    [H*W, 3] view of the frame accumulator; ascending-sample sequential
+    adds, so any decomposition of the range produces bit-identical sums).
+
+    Launch chunking: uniform launches of at most n_dev*max_rays_per_pass
+    lanes; the ragged tail pads to a device-count multiple with INACTIVE
+    lanes. Returns (overflow int, queries int).
+    """
+    n_dev = int(mesh.devices.size)
+    w, h = config.width, config.height
+    n_pix = w * h
+    budget = config.max_rays_per_pass * n_dev
+    overflow = 0
+    queries = 0
+    lo = lane_lo
+    while lo < lane_hi:
+        hi = min(lo + budget, lane_hi)
+        n = hi - lo
+        n_pad = (-n) % n_dev
+        px, py, si = _lane_pixel_arrays(lo, hi, w, n_pix)
+        active = np.ones(n + n_pad, bool)
+        if n_pad:
+            px = np.concatenate([px, np.zeros(n_pad, np.int32)])
+            py = np.concatenate([py, np.zeros(n_pad, np.int32)])
+            si = np.concatenate([si, np.zeros(n_pad, np.int32)])
+            active[n:] = False
+        rx, ry, rz, ovf, q = _sharded_pass(
+            scene, config, camera,
+            jnp.asarray(px), jnp.asarray(py), jnp.asarray(si),
+            jnp.asarray(active), mesh,
+        )
+        rad = np.stack(
+            [np.asarray(rx)[:n], np.asarray(ry)[:n], np.asarray(rz)[:n]], -1
+        )
+        overflow += int(np.asarray(ovf).sum())
+        queries += int(np.asarray(q).sum())
+        # scatter the launch's lanes into the frame accumulator: the range
+        # decomposes into per-sample contiguous pixel runs
+        pos = lo
+        off = 0
+        while pos < hi:
+            run = min(hi, (pos // n_pix + 1) * n_pix) - pos
+            p0 = pos % n_pix
+            out[p0 : p0 + run] += rad[off : off + run]
+            pos += run
+            off += run
+        lo = hi
+    return overflow, queries
+
+
+def render_path_sharded_with_stats(
+    scene: SceneData,
+    config: RenderConfig,
+    camera: PerspectiveCamera,
+    mesh: Mesh | None = None,
+):
+    """Path-trace a frame sharded over the mesh, launch-chunked to the wave
+    budget. Returns (image [H,W,3] float32, overflow int, queries int)."""
+    mesh = mesh or make_mesh()
+    w, h = config.width, config.height
+    spp = config.pixel_samples**2
+    acc = np.zeros((h * w, 3), np.float32)
+    overflow, queries = sharded_lane_range(
+        scene, config, camera, mesh, 0, w * h * spp, acc
+    )
+    if overflow:
+        import sys
+
+        print(
+            "[rayito_tpu] WARNING: cluster-traversal candidate overflow "
+            f"x{overflow} (see render/mesh_intersect.py)",
+            file=sys.stderr,
+        )
+    return acc.reshape(h, w, 3) / np.float32(spp), overflow, queries
 
 
 def render_path_sharded(
@@ -90,40 +212,6 @@ def render_path_sharded(
     camera: PerspectiveCamera,
     mesh: Mesh | None = None,
 ):
-    """Path-trace a frame with the wavefront sharded over the mesh.
-
-    Returns the [H, W, 3] image (host numpy). Lanes are padded to a multiple
-    of the device count; padding lanes render pixel (0,0) redundantly and are
-    dropped on reshape.
-    """
-    mesh = mesh or make_mesh()
-    n_dev = mesh.devices.size
-    w, h = config.width, config.height
-    spp = config.pixel_samples**2
-
-    py_, px_ = np.meshgrid(np.arange(h, dtype=np.int32), np.arange(w, dtype=np.int32),
-                           indexing="ij")
-    px_ = np.tile(px_.reshape(-1), spp)
-    py_ = np.tile(py_.reshape(-1), spp)
-    si_ = np.repeat(np.arange(spp, dtype=np.int32), w * h)
-    n = px_.shape[0]
-    n_pad = (-n) % n_dev
-    if n_pad:
-        px_ = np.concatenate([px_, np.zeros(n_pad, np.int32)])
-        py_ = np.concatenate([py_, np.zeros(n_pad, np.int32)])
-        si_ = np.concatenate([si_, np.zeros(n_pad, np.int32)])
-
-    rx, ry, rz, overflow, _queries = _sharded_pass(
-        scene, config, camera,
-        jnp.asarray(px_), jnp.asarray(py_), jnp.asarray(si_), mesh, n_pad,
-    )
-    if int(np.asarray(overflow).sum()):
-        import sys
-
-        print(
-            "[rayito_tpu] WARNING: cluster-traversal candidate overflow "
-            f"x{int(np.asarray(overflow).sum())} (see render/mesh_intersect.py)",
-            file=sys.stderr,
-        )
-    radiance = np.stack([np.asarray(rx)[:n], np.asarray(ry)[:n], np.asarray(rz)[:n]], -1)
-    return radiance.reshape(spp, h, w, 3).mean(axis=0)
+    """render_path_sharded_with_stats, image only (the common call)."""
+    img, _, _ = render_path_sharded_with_stats(scene, config, camera, mesh)
+    return img

@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.kernel_tables import KTRI
+from ..utils.vma import out_struct
 
 SB = 2048  # rays per grid step
 # rays per ray-block (mask granularity: one cluster MT block serves the
@@ -371,8 +372,8 @@ def _traverse_items(items, n_steps, soab, tri, tmin: float, interpret: bool,
             _items_kernel, w=w, tmin=tmin, mt_mode=mt_mode
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nblk, b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, b, 1), jnp.int32),
+            out_struct((nblk, b, 1), jnp.float32),
+            out_struct((nblk, b, 1), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -397,6 +398,20 @@ _DEBRUIJN_TABLE = (
     0, 1, 28, 2, 29, 14, 24, 3, 30, 22, 20, 15, 25, 17, 4, 8,
     31, 27, 13, 23, 21, 19, 16, 7, 26, 12, 18, 6, 11, 5, 10, 9,
 )
+
+
+def _plain_i32(x):
+    """Identity that strips the varying-axes (vma) type a raw ref read
+    inherits when the kernel is traced under a vma-checked shard_map.
+
+    Inside `_trace_kernel_to_jaxpr` jax disables vma checking, so every
+    primitive's abstract eval returns a vma-FREE aval — but ref reads still
+    carry the vma of the outer operand. A loop carry initialized from a raw
+    read (varying) whose body output is an op result (plain) then fails
+    while_loop's carry type check. Routing the init through one real
+    primitive (bitwise or with 0 — exact for int32) makes init and body
+    agree. No-op semantics; folded by Mosaic/XLA."""
+    return x | jnp.int32(0)
 
 
 def _pack_key(t_f32, lane):
@@ -686,7 +701,7 @@ def _traverse_kernel(
                 )
                 return w, bits & (bits - 1), kb, cb
 
-            bits0 = mask_ref[0, 0, nsub * r, w]
+            bits0 = _plain_i32(mask_ref[0, 0, nsub * r, w])
             for s in range(1, nsub):  # union of the block's sub-rows
                 bits0 |= mask_ref[0, 0, nsub * r + s, w]
             _, _, kb, cb = jax.lax.while_loop(
@@ -694,8 +709,8 @@ def _traverse_kernel(
             )
             return kb, cb
 
-        kb0 = kbest_ref[pl.ds(lo, b), :]
-        cb0 = cbest_ref[pl.ds(lo, b), :]
+        kb0 = _plain_i32(kbest_ref[pl.ds(lo, b), :])
+        cb0 = _plain_i32(cbest_ref[pl.ds(lo, b), :])
 
         def collect_sub(s, row):
             """Flatten row ``row``'s set mask bits into clist_ref[s]
@@ -718,7 +733,7 @@ def _traverse_kernel(
 
                 _, cnt = jax.lax.while_loop(
                     lambda st: st[0] != 0, nb,
-                    (mask_ref[0, 0, row, w], cnt),
+                    (_plain_i32(mask_ref[0, 0, row, w]), cnt),
                 )
                 return cnt
 
@@ -1030,8 +1045,8 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
             b=b, wide=wide, sub=sub,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, SB, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, SB, 1), jnp.int32),
+            out_struct((n_steps, SB, 1), jnp.float32),
+            out_struct((n_steps, SB, 1), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1076,7 +1091,7 @@ def transpose_rows(x, interpret: bool | None = None):
         grid=(n // bt,),
         in_specs=[pl.BlockSpec((bt, k), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((k, bt), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((k, n), x.dtype),
+        out_shape=out_struct((k, n), x.dtype),
         interpret=interpret,
     )(x)
 
@@ -1224,9 +1239,7 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
         out_specs=pl.BlockSpec((1, rbm, groups * 64),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_steps, rbm, groups * 64), jnp.float32
-        ),
+        out_shape=out_struct((n_steps, rbm, groups * 64), jnp.float32),
         interpret=interpret,
     )(soat, box, wts)
     h4 = halves.reshape(n_steps, rbm, groups, 64)
@@ -1335,12 +1348,59 @@ def _coherence_key(ox, oy, oz, dx, dy, dz, tmax, cl_box, tmin):
     return jnp.where(live, key, jnp.int32(1) << 30)
 
 
+def padded_len(n: int) -> int:
+    """Wavefront length after traverse()'s SB-step padding — the length an
+    external ``perm`` (see origin_cell_perm) must have."""
+    return max(1, -(-n // SB)) * SB
+
+
+def origin_cell_perm(ox, oy, oz, live, cl_box, n_total: int):
+    """Direction-free coherence permutation SHARED by a group of launches
+    with identical ray origins (the light- and BRDF-sampled NEE shadow
+    queries of one bounce share their shading positions and differ only in
+    direction — BENCH_NOTES.md round-4 lead 3): key = (dead flag, morton
+    cell of the ORIGIN in the root box). One sort then serves every query
+    of the group, at the price of octant incoherence inside the ray blocks
+    (the octant key bits once measured +7% alone — so callers A/B this,
+    never assume). ``live``: bool [N], lanes where ANY query of the group
+    may be live; dead-everywhere lanes pack into trailing blocks exactly
+    like traverse()'s own key packs them. Returns perm [n_total] i32
+    (padding lanes sort to the end), n_total = padded_len(N).
+    """
+    n = ox.shape[0]
+    rmin = jnp.min(cl_box[0:3], axis=1)
+    mx = jnp.where(cl_box[3:6] >= 1e29, -jnp.float32(_INF), cl_box[3:6])
+    rmax = jnp.max(mx, axis=1)
+    ext = jnp.maximum(rmax - rmin, 1e-30)
+    qx = jnp.clip((ox - rmin[0]) / ext[0] * 512.0, 0.0, 511.0)
+    qy = jnp.clip((oy - rmin[1]) / ext[1] * 512.0, 0.0, 511.0)
+    qz = jnp.clip((oz - rmin[2]) / ext[2] * 512.0, 0.0, 511.0)
+    morton = (
+        (_part1by2(qx.astype(jnp.int32)) << 2)
+        | (_part1by2(qy.astype(jnp.int32)) << 1)
+        | _part1by2(qz.astype(jnp.int32))
+    )
+    key = jnp.where(live, morton, jnp.int32(1) << 30)
+    if n_total > n:
+        key = jnp.concatenate(
+            [key, jnp.full((n_total - n,), jnp.int32(1) << 30)]
+        )
+    lane_ids = jnp.arange(n_total, dtype=jnp.int32)
+    if n_total <= (1 << 17):
+        # same packed 1-op sort as traverse()'s global mode: top 13 coarse
+        # key bits (dead flag + morton MSBs) ride above the 17 lane bits
+        packed = ((key >> 17) << 17) | lane_ids
+        return jax.lax.sort(packed) & jnp.int32((1 << 17) - 1)
+    _, perm_out = jax.lax.sort((key, lane_ids), num_keys=1)
+    return perm_out
+
+
 def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              interpret: bool | None = None, sort_rays: bool | None = None,
              want_t: bool = True, mt_mode: str = "vpu",
              any_hit: bool = False, items: bool | None = None,
              b: int | None = None, wide: int | None = None,
-             sub: int | None = None):
+             sub: int | None = None, perm=None, ret_sorted: bool = False):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as

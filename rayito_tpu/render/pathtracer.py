@@ -87,7 +87,7 @@ def _select_v3_by_light(stacked: V3, light_idx) -> V3:
 
 
 def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
-                   px, py, si):
+                   px, py, si, active=None):
     """Trace one wavefront of camera rays to completion.
 
     o, d: V3 of [N]; time [N]; px, py [N] pixel coords; si [N] pixel-sample
@@ -96,13 +96,18 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
     issued (alive-lane traces + NEE shadow/BRDF-side queries on lanes whose
     masks require one) — the honest ray-throughput denominator, invariant
     under lane compaction / dead-lane optimizations.
+
+    ``active`` (optional bool [N]) marks lanes that exist only as launch
+    padding as dead from bounce 0: they trace with tmax 0 (near-free), return
+    black, and are excluded from the query counter so padding cannot inflate
+    the throughput metric.
     """
     n = o.shape[0]
     f32 = jnp.float32
     zeros = jnp.zeros((n,), f32)
     result = V3(zeros, zeros, zeros)
     throughput = V3(jnp.ones((n,), f32), jnp.ones((n,), f32), jnp.ones((n,), f32))
-    alive = jnp.ones((n,), bool)
+    alive = jnp.ones((n,), bool) if active is None else active
     num_dirac = jnp.zeros((n,), jnp.int32)
     overflow0 = jnp.int32(0)
     queries0 = jnp.int32(0)

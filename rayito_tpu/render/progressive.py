@@ -64,6 +64,7 @@ def render_progressive(
     checkpoint_every: int = 1,
     on_progress: Optional[Callable[[RenderStats], None]] = None,
     on_preview: Optional[Callable[[np.ndarray, RenderStats], None]] = None,
+    mesh=None,
 ):
     """Render config.pixel_samples² samples/pixel in resumable chunks.
 
@@ -75,11 +76,19 @@ def render_progressive(
     (width*height > config.max_rays_per_pass) are rendered in pixel-row
     bands per sample so a single launch never exceeds the wave budget;
     checkpoints are then per whole sample.
+
+    ``mesh`` (a jax.sharding.Mesh) shards every chunk's wavefront across
+    its devices via parallel/sharding.py — the multi-chip path with the
+    full progressive surface (checkpoint/resume, stats, live preview).
+    Per-lane counter-based seeding keeps the accumulated image bit-identical
+    to the unsharded render and independent of the device count, so a
+    checkpoint written sharded may resume unsharded and vice versa (the
+    digest covers render inputs only, not the execution layout).
     """
     spp_total = config.pixel_samples**2
     w, h = config.width, config.height
     n_pix = w * h
-    banded = n_pix > config.max_rays_per_pass
+    banded = mesh is None and n_pix > config.max_rays_per_pass
 
     digest = None
     acc = np.zeros((h, w, 3), np.float32)
@@ -119,11 +128,29 @@ def render_progressive(
     rays = 0
     overflow = 0
     chunks_since_save = 0
-    chunk = 1 if banded else max(1, min(spp_total, config.max_rays_per_pass // n_pix))
+    if mesh is not None:
+        # per-device wave budget scales the per-chunk sample count; chunks
+        # below one full sample are handled by sharding's own lane chunking
+        lane_budget = config.max_rays_per_pass * int(mesh.devices.size)
+        chunk = max(1, min(spp_total, lane_budget // n_pix))
+    else:
+        chunk = 1 if banded else max(
+            1, min(spp_total, config.max_rays_per_pass // n_pix)
+        )
     while s_done < spp_total:
         hi = min(s_done + chunk, spp_total)
         si = jnp.arange(s_done, hi, dtype=jnp.int32)
-        if banded:
+        if mesh is not None:
+            from ..parallel.sharding import sharded_lane_range
+
+            acc_flat = acc.reshape(-1, 3)
+            ovf, q = sharded_lane_range(
+                scene, config, camera, mesh,
+                s_done * n_pix, hi * n_pix, acc_flat,
+            )
+            overflow += int(ovf)
+            rays += int(q)
+        elif banded:
             # same band decomposition as render_path_with_stats: uniform
             # band height, last band shifted up and cropped
             band = max(1, config.max_rays_per_pass // w)

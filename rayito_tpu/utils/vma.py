@@ -40,6 +40,21 @@ def varying_axis(name: str):
         _axis.reset(token)
 
 
+def out_struct(shape, dtype):
+    """A ``jax.ShapeDtypeStruct`` for a pallas_call ``out_shape``, carrying
+    the active shard_map axis as its varying set.
+
+    Under a vma-checked shard_map, pallas_call refuses ``vma=None`` output
+    structs; the kernel outputs are per-shard (they are computed from the
+    shard's ray state), i.e. varying over the mesh axis. Identity-plain
+    outside :func:`varying_axis`.
+    """
+    name = _axis.get()
+    if name is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset({name}))
+
+
 def carry_init(x):
     """Mark a loop-carry init as varying over the active shard_map axis.
 

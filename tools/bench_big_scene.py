@@ -12,46 +12,23 @@ Run on TPU:  python tools/bench_big_scene.py
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
 import jax.numpy as jnp  # noqa: E402
 
-import rayito_tpu as rt  # noqa: E402
+
 from rayito_tpu.models.camera import PerspectiveCamera  # noqa: E402
 from rayito_tpu.models.demo import STAGE6_CAMERA  # noqa: E402
-from rayito_tpu.models.obj import load_obj  # noqa: E402
 from rayito_tpu.render.pathtracer import _render_path_pass  # noqa: E402
 from rayito_tpu.render.pallas_traverse import TRI_CHUNK  # noqa: E402
 from rayito_tpu.utils.config import RenderConfig  # noqa: E402
 
 
 def main():
-    mesh0 = load_obj("/root/reference/models/bumpy.obj",
-                     rt.DiffuseMaterial((0.5, 0.5, 0.5)))
-    verts = np.asarray(mesh0.vertices, np.float32)
-    idx = np.asarray(mesh0.indices, np.int32)
-    b = rt.Scene()
-    b.add(rt.Plane((0.0, -2.0, 0.0), (0.0, 1.0, 0.0),
-                   rt.DiffuseMaterial((0.7, 0.7, 0.7))))
-    mats = [rt.DiffuseMaterial((0.8, 0.3, 0.2)),
-            rt.GlossyMaterial((0.3, 0.7, 0.3), 0.25),
-            rt.DiffuseMaterial((0.3, 0.3, 0.8)),
-            rt.GlossyMaterial((0.8, 0.8, 0.2), 0.15),
-            rt.DiffuseMaterial((0.7, 0.4, 0.7))]
-    offs = [(-5.0, 0, 0), (-2.5, 1.0, -2.0), (0.0, 0, 0),
-            (2.5, 1.0, -2.0), (5.0, 0, 0)]
-    for off, mat in zip(offs, mats):
-        m = rt.TriangleMesh(
-            vertices=verts + np.asarray(off, np.float32),
-            indices=idx, material=mat,
-            normals=mesh0.normals, normal_indices=mesh0.normal_indices,
-        )
-        b.add(m)
-    b.add(rt.RectangleLight((-4, 10, -4), (8, 0, 0), (0, 0, 8),
-                            (1.0, 1.0, 1.0), 3.0))
-    scene = b.compile()
+    from rayito_tpu.models.demo import big_streamed_scene
+
+    scene = big_streamed_scene().compile()
     n_cl = scene.ktab_tri[0].shape[0]
     print(f"tris={scene.n_tris} clusters={n_cl} domains={len(scene.ktab_xf)} "
           f"traversal={scene.traversal} (streamed: {n_cl} > TRI_CHUNK={TRI_CHUNK})",
