@@ -626,6 +626,7 @@ class Scene:
 
         traverse_b, traverse_wide, traverse_sub = _pt.B, _pt.WIDE, _pt.SUB
         sort_occl = os.environ.get("RAYITO_SORT_OCCL", "1") != "0"
+        share_occl_sort = os.environ.get("RAYITO_SHARE_OCCL_SORT", "0") == "1"
 
         ktab_tri, ktab_box, ktab_base, ktab_xf, ktab_seg = [], [], [], [], []
         ktab_mxu = []
@@ -898,6 +899,7 @@ class Scene:
             traverse_wide=traverse_wide,
             traverse_sub=traverse_sub,
             sort_occl=sort_occl,
+            share_occl_sort=share_occl_sort,
             light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
             light_index=dev(np.array(light_index, i32).reshape(n_l)),
             light_shape_id=dev(np.array(light_shape_id, i32).reshape(n_l)),
@@ -1060,6 +1062,14 @@ class SceneData:
     # sort occlusion launches by the coherence key (measured win on
     # stage-6 — BENCH_NOTES.md); resolved from RAYITO_SORT_OCCL at compile
     sort_occl: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # share ONE direction-free origin-cell sort between the two NEE
+    # occlusion launches of a bounce (trace.scene_occluded_pair — saves a
+    # key+sort per launch and merges the two unsorts into one packed sort,
+    # at the price of octant incoherence in the ray blocks); resolved from
+    # RAYITO_SHARE_OCCL_SORT at compile (BENCH_NOTES.md round-4 lead 3)
+    share_occl_sort: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     # -- static (trace-time) counts --
     @property

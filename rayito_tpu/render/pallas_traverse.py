@@ -1470,7 +1470,18 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     mode = os.environ.get("RAYITO_TRAVERSE_SORT", "global")
     if not sort_rays:
         mode = "off"
-    if mode != "off":
+    if perm is not None:
+        # external SHARED permutation (origin_cell_perm): the caller sorted
+        # a whole group of same-origin launches with one key; skip the
+        # per-launch key+sort and just apply it
+        mode = "ext"
+        if perm.shape[0] != n_steps * SB:
+            raise ValueError(
+                f"external perm has {perm.shape[0]} lanes, launch is padded "
+                f"to {n_steps * SB} (use padded_len)"
+            )
+        soa8 = soa8[perm]
+    elif mode != "off":
         key = _coherence_key(
             col(0), col(1), col(2), col(3), col(4), col(5), col(6),
             jnp.asarray(tables.cl_box), float(tmin),
@@ -1571,6 +1582,16 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         t_bn, p_bn = jax.lax.cond(overflow, _run_blocks, _run_items)
     else:
         t_bn, p_bn = _run_blocks()
+    if ret_sorted:
+        # caller owns the inversion (it can invert a whole group of
+        # shared-perm launches in ONE packed sort) — return PADDED outputs
+        # in sorted order
+        if mode not in ("ext", "off"):
+            raise ValueError("ret_sorted requires an external perm")
+        return (
+            t_bn.reshape(n_steps * SB) if want_t else None,
+            p_bn.reshape(n_steps * SB),
+        )
     if mode == "off":
         t = t_bn.reshape(n_steps * SB)
         prim = p_bn.reshape(n_steps * SB)

@@ -48,7 +48,12 @@ from ..utils.config import RenderConfig
 from ..utils.vma import carry_init
 from . import lights as L
 from .integrator import _pixel_grid, _subpixel_jitter, screen_uv
-from .trace import material_emittance, scene_intersect, scene_occluded
+from .trace import (
+    material_emittance,
+    scene_intersect,
+    scene_occluded,
+    scene_occluded_pair,
+)
 
 
 def _mat_lookup(scene: SceneData, mat_ids):
@@ -255,26 +260,7 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                 )
                 ok_l = nee_lane & (lpdf > 0.0) & (f_l > 0.0) & (brdf_pdf_l > 0.0)
                 nee_q = nee_q + jnp.sum(ok_l.astype(jnp.int32))
-                occluded, ovf_l = scene_occluded(
-                    scene,
-                    position,
-                    -light_incoming,
-                    time,
-                    tmin,
-                    jnp.where(ok_l, dist - tmin, 0.0),
-                )
-                nee_ovf = nee_ovf + ovf_l
-                ok_l = ok_l & ~occluded
-                w_l = power_heuristic(1.0, lpdf, 1.0, brdf_pdf_l)
-                gain_l = jnp.where(
-                    ok_l,
-                    f_l
-                    * jnp.abs(dot(-light_incoming, normal))
-                    * w_l
-                    / jnp.maximum(lpdf, 1e-37),
-                    0.0,
-                )
-                acc = acc + emitted * cmod_color * gain_l
+                tmax_l = jnp.where(ok_l, dist - tmin, 0.0)
 
                 # --- BRDF-sampled direction toward the same light.
                 # "Full intersect, hit shape == the chosen light"
@@ -282,6 +268,9 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                 # hit analytically AND nothing else is closer — so when no
                 # mesh lights are present, one cheap analytic hit + one
                 # any-hit occlusion replaces the full nearest-hit query.
+                # Sampled BEFORE the light-side occlusion so the two shadow
+                # queries (identical origins, different directions) can
+                # share one origin-cell sort (scene_occluded_pair).
                 bsu, bsv = rngo.cmj_sample_2d(fsi, ps * ls, ps * ls, perm_brdf)
                 b_in, f_b, pdf_b = sample_sa(kind, exponent, outgoing, normal, bsu, bsv)
                 ok_b = nee_lane & (pdf_b > 0.0) & (f_b > 0.0)
@@ -314,18 +303,25 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                         )
                     ok_b = ok_b & l_hit
                     nee_q = nee_q + jnp.sum(ok_b.astype(jnp.int32))
-                    blocked, ovf_b = scene_occluded(
+                    occluded, blocked, ovf_lb = scene_occluded_pair(
                         scene,
                         position,
+                        -light_incoming,
+                        tmax_l,
                         -b_in,
+                        jnp.where(ok_b, jnp.where(l_hit, t_l, 0.0) - tmin, 0.0),
                         time,
                         tmin,
-                        jnp.where(ok_b, jnp.where(l_hit, t_l, 0.0) - tmin, 0.0),
+                        live=ok_l | ok_b,
                     )
-                    nee_ovf = nee_ovf + ovf_b
+                    nee_ovf = nee_ovf + ovf_lb
                     hit_light = ok_b & ~blocked
                     sh_t, sh_n = t_l, n_l
                 else:
+                    occluded, ovf_l = scene_occluded(
+                        scene, position, -light_incoming, time, tmin, tmax_l
+                    )
+                    nee_ovf = nee_ovf + ovf_l
                     nee_q = nee_q + jnp.sum(ok_b.astype(jnp.int32))
                     sh = scene_intersect(
                         scene,
@@ -338,6 +334,18 @@ def pathtrace_wave(scene: SceneData, config: RenderConfig, o: V3, d: V3, time,
                     nee_ovf = nee_ovf + sh.overflow
                     hit_light = ok_b & sh.valid & (sh.shape_id == chosen_sid)
                     sh_t, sh_n = sh.t, sh.normal
+
+                ok_l = ok_l & ~occluded
+                w_l = power_heuristic(1.0, lpdf, 1.0, brdf_pdf_l)
+                gain_l = jnp.where(
+                    ok_l,
+                    f_l
+                    * jnp.abs(dot(-light_incoming, normal))
+                    * w_l
+                    / jnp.maximum(lpdf, 1e-37),
+                    0.0,
+                )
+                acc = acc + emitted * cmod_color * gain_l
                 if roll_lights:
                     lpdf_b = L.light_intersect_pdf_rolled(
                         scene, light_idx, position, -b_in, sh_t, sh_n, time

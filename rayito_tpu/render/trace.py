@@ -702,13 +702,10 @@ def scene_intersect(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> Hit:
     )
 
 
-def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
-    """Any-hit shadow query (ShapeSet::doesIntersect).
-
-    Returns (occluded bool [N], overflow [] int32 — see Hit.overflow)."""
+def _analytic_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
+    """Any-hit against the analytic shapes only (planes/spheres/rects) —
+    the unsorted prefix of every shadow query."""
     n = o.shape[0]
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
-    time = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
     occluded = jnp.zeros((n,), bool)
 
     pos, nrm = from_aos(scene.pln_pos), from_aos(scene.pln_normal)
@@ -741,26 +738,44 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
         o_l, d_l, _ = _shape_local_ray(scene, scene.rect_xf[i], o, d, time)
         _, hit, _ = rect_intersect(o_l, d_l, tmin, tmax, corner[i], s1[i], s2[i])
         occluded |= hit
+    return occluded
+
+
+def _occl_tmax_down(occluded, tmax):
+    """Kernel-launch tmax for shadow queries: zero already-occluded lanes,
+    round the rest DOWN one full 128-ulp key bucket.
+
+    The kernel's packed (t, lane) key clears the low 7 mantissa bits,
+    so it would accept hits up to 127 ulps BEYOND tmax (~2^-17
+    relative) — for shadow rays longer than ~8 world units that
+    quantization bucket exceeds the 1e-4 absolute epsilon and the
+    sampled light triangle itself could falsely occlude. After the
+    round-down every hit the kernel reports satisfies t < tmax EXACTLY,
+    and the residual bias (occluders in the last <=256 ulps below tmax
+    may be missed) errs toward unoccluded — the same direction as the
+    strict t < tmax test at its own float boundary."""
+    from ..accel.kernel_tables import KTRI
+
+    tq = jnp.where(occluded, 0.0, tmax)
+    bits = jax.lax.bitcast_convert_type(tq, jnp.int32)
+    bits_dn = jnp.maximum((bits & ~jnp.int32(KTRI - 1)) - jnp.int32(KTRI), 0)
+    return jax.lax.bitcast_convert_type(bits_dn, jnp.float32)
+
+
+def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
+    """Any-hit shadow query (ShapeSet::doesIntersect).
+
+    Returns (occluded bool [N], overflow [] int32 — see Hit.overflow)."""
+    n = o.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    time = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
+    occluded = _analytic_occluded(scene, o, d, time, tmin, tmax)
 
     overflow = jnp.int32(0)
     if scene.n_meshes and use_pallas_traversal(scene):
-        from ..accel.kernel_tables import KTRI
         from .pallas_traverse import traverse
 
-        # The kernel's packed (t, lane) key clears the low 7 mantissa bits,
-        # so it would accept hits up to 127 ulps BEYOND tmax (~2^-17
-        # relative) — for shadow rays longer than ~8 world units that
-        # quantization bucket exceeds the 1e-4 absolute epsilon and the
-        # sampled light triangle itself could falsely occlude. Round tmax
-        # DOWN one full 128-ulp bucket before the launch: every hit the
-        # kernel then reports satisfies t < tmax EXACTLY, and the residual
-        # bias (occluders in the last <=256 ulps below tmax may be missed)
-        # errs toward unoccluded — the same direction as the strict t < tmax
-        # test at its own float boundary.
-        tq = jnp.where(occluded, 0.0, tmax)
-        bits = jax.lax.bitcast_convert_type(tq, jnp.int32)
-        bits_dn = jnp.maximum((bits & ~jnp.int32(KTRI - 1)) - jnp.int32(KTRI), 0)
-        tq_dn = jax.lax.bitcast_convert_type(bits_dn, jnp.float32)
+        tq_dn = _occl_tmax_down(occluded, tmax)
         mt = _mt_for(scene, occlusion=True)
         for di in range(len(scene.ktab_xf)):
             o_l, d_l, _ = _domain_local_ray(scene, di, o, d, time)
@@ -818,6 +833,96 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
         overflow = overflow + ovf_m
 
     return occluded, overflow
+
+
+def scene_occluded_pair(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
+                        tmax2, time, tmin, live):
+    """Two any-hit shadow queries from IDENTICAL origins — the light- and
+    BRDF-sampled NEE shadow rays of one bounce (pathtracer.py).
+
+    With ``scene.share_occl_sort`` (and the production exact-vpu occlusion
+    kernel), ONE direction-free origin-cell sort (pallas_traverse.
+    origin_cell_perm) serves both kernel launches and ONE packed 1-op sort
+    inverts both results — vs two key+sort+2-op-unsort rounds for
+    independent calls (BENCH_NOTES.md round-4 lead 3; the price is octant
+    incoherence inside the ray blocks, A/B-measured). Otherwise falls back
+    to two independent scene_occluded calls — identical launches to the
+    pre-pair code.
+
+    ``live``: bool [N] — lanes where EITHER query may be live (drives the
+    shared key's dead-lane packing only; correctness is per-query tmax).
+    Returns (occ1 [N] bool, occ2 [N] bool, overflow [] int32)."""
+    mt = _mt_for(scene, occlusion=True)
+    shared = (
+        scene.share_occl_sort
+        and scene.n_meshes
+        and use_pallas_traversal(scene)
+        and scene.sort_occl
+        and mt == "vpu"  # accepts trusted in-kernel; no winner re-test
+    )
+    if not shared:
+        occ1, ovf1 = scene_occluded(scene, o, d1, time, tmin, tmax1)
+        occ2, ovf2 = scene_occluded(scene, o, d2, time, tmin, tmax2)
+        return occ1, occ2, ovf1 + ovf2
+
+    from .pallas_traverse import origin_cell_perm, padded_len, traverse
+
+    n = o.shape[0]
+    time = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
+    m_pad = padded_len(n)
+    perm = origin_cell_perm(
+        o.x, o.y, o.z, live, jnp.asarray(scene.ktab_box[0]), m_pad
+    )
+
+    hits_sorted = []
+    occs = []
+    for d_, tmax_ in ((d1, tmax1), (d2, tmax2)):
+        tmax_ = jnp.broadcast_to(jnp.asarray(tmax_, jnp.float32), (n,))
+        occ = _analytic_occluded(scene, o, d_, time, tmin, tmax_)
+        tq_dn = _occl_tmax_down(occ, tmax_)
+        hit_s = jnp.zeros((m_pad,), bool)
+        for di in range(len(scene.ktab_xf)):
+            o_l, d_l, _ = _domain_local_ray(scene, di, o, d_, time)
+            _, p_s = traverse(
+                o_l, d_l, tq_dn, _domain_view(scene, di, mt), tmin,
+                want_t=False, mt_mode=mt, any_hit=True,
+                b=scene.traverse_b, wide=scene.traverse_wide,
+                sub=scene.traverse_sub, perm=perm, ret_sorted=True,
+            )
+            hit_s |= p_s >= 0
+        hits_sorted.append(hit_s)
+        occs.append(occ)
+
+    # joint inverse permutation: both queries' hit bits ride the lane id in
+    # ONE packed 1-op sort (perm < 2^29 always: padded_len of an int32-
+    # indexable wavefront)
+    word = (
+        (perm << 2)
+        | (hits_sorted[0].astype(jnp.int32) << 1)
+        | hits_sorted[1].astype(jnp.int32)
+    )
+    inv = jax.lax.sort(word)[:n]
+    occ1 = occs[0] | (((inv >> 1) & 1) > 0)
+    occ2 = occs[1] | ((inv & 1) > 0)
+
+    overflow = jnp.int32(0)
+    if scene.ktab_small:
+        from .mesh_intersect import mesh_intersect_clusters
+
+        out = []
+        for occ, d_, tmax_ in ((occ1, d1, tmax1), (occ2, d2, tmax2)):
+            tmax_ = jnp.broadcast_to(jnp.asarray(tmax_, jnp.float32), (n,))
+            for mi in scene.ktab_small:  # tiny transformed meshes: XLA fold
+                o_l, d_l, _ = _mesh_local_ray(scene, mi, o, d_, time)
+                _, prim_m, _, _, ovf_m = mesh_intersect_clusters(
+                    scene, mi, o_l, d_l, tmin,
+                    jnp.where(occ, 0.0, tmax_), any_hit=True,
+                )
+                occ = occ | (prim_m >= 0)
+                overflow = overflow + ovf_m
+            out.append(occ)
+        occ1, occ2 = out
+    return occ1, occ2, overflow
 
 
 def material_row(scene: SceneData, mat_ids):
