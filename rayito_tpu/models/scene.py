@@ -269,6 +269,49 @@ class Group:
         self.children.append(shape)
 
 
+def _split_static_segs(segs, g: int):
+    """Partition the static meshes' kernel segments into up to ``g``
+    spatial groups (each becomes its own world-space traversal domain).
+
+    Granularity is per MESH segment: sort segments by centroid along the
+    axis of largest centroid spread, then cut into contiguous groups of
+    roughly equal triangle count. Grouping whole instances is exactly the
+    mid-granularity split the big-scene profile calls for (overlap between
+    instances is what a contiguous centroid cut minimizes)."""
+    if g <= 1 or len(segs) < 2:
+        return [segs]
+    g = min(g, len(segs))
+    cents, counts = [], []
+    for v0, v1, v2, valid, _tri0, _kcuts in segs:
+        m = np.asarray(valid, bool)
+        c = (
+            np.asarray(v0, np.float64)[m]
+            + np.asarray(v1, np.float64)[m]
+            + np.asarray(v2, np.float64)[m]
+        ).mean(axis=0) / 3.0
+        cents.append(c)
+        counts.append(int(m.sum()))
+    cents = np.asarray(cents)
+    axis = int(np.argmax(cents.max(axis=0) - cents.min(axis=0)))
+    order = np.argsort(cents[:, axis], kind="stable")
+    total = sum(counts)
+    groups, cur, acc, gi = [], [], 0, 0
+    for k, si in enumerate(order):
+        cur.append(segs[si])
+        acc += counts[si]
+        remaining_segs = len(order) - k - 1
+        if (
+            gi < g - 1
+            and acc >= total * (gi + 1) // g
+            and remaining_segs >= (g - 1 - gi)
+        ):
+            groups.append(cur)
+            cur, gi = [], gi + 1
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 class Scene:
     """The ShapeSet equivalent: collects shapes, compiles to SceneData."""
 
@@ -336,6 +379,7 @@ class Scene:
         tiny_fold: Optional[bool] = None,
         traverse_mt: Optional[str] = None,
         cluster_cuts: Optional[str] = None,
+        static_split: Optional[int] = None,
     ) -> "SceneData":
         """Lower to a SceneData pytree.
 
@@ -584,8 +628,19 @@ class Scene:
                 # would pay a whole sort+mask+kernel launch of its own;
                 # the dense XLA brute-force fold is far cheaper
                 ktab_small.append(mi)
+        # Optional spatial split of the merged static domain into G
+        # world-space domains (separate sorts + masks per group): on scenes
+        # of several large OVERLAPPING instances the ONE-domain union
+        # density explodes (the 245k-tri bench's traversal is 101.5 of a
+        # 153 ms frame), and a per-group launch excludes the other groups'
+        # clusters from every ray-block union at the price of G-1 extra
+        # sort+mask+retest rounds (BENCH_NOTES round-4 lead 2 — measured,
+        # not assumed). Default 1 (single merged domain).
+        if static_split is None:
+            static_split = int(os.environ.get("RAYITO_STATIC_SPLIT", "1"))
         if static_segs:
-            domain_specs.insert(0, (static_segs, 0))
+            for g in reversed(_split_static_segs(static_segs, static_split)):
+                domain_specs.insert(0, (g, 0))
         # which per-cluster triangle test the kernel runs: 'vpu' = classic
         # Möller-Trumbore on the vector unit (the measured end-to-end
         # winner: 8.8 vs 6.4 Mrays/s on the stage-6 bench); 'mxu' = the

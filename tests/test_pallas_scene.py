@@ -171,6 +171,40 @@ def test_full_render_parity():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_static_split_parity():
+    """``compile(static_split=G)`` partitions the merged static domain into
+    G spatial groups (separate launches, t-cap chained; BENCH_NOTES round-4
+    lead 2). A pure layout change: scene intersections and occlusion must
+    match the single-domain compile exactly."""
+    b = rt.Scene()
+    for k, off in enumerate([(-3.0, 0.0, 0.0), (0.0, 0.4, -0.8),
+                             (3.0, -0.2, 0.5)]):
+        b.add(_shift_mesh(
+            inline_box_mesh(rt.DiffuseMaterial((0.5 + 0.1 * k, 0.3, 0.2))),
+            off,
+        ))
+    b.add(rt.RectangleLight((-2.5, 6.0, -2.5), (5.0, 0.0, 0.0),
+                            (0.0, 0.0, 5.0), (1.0, 1.0, 1.0), 2.0))
+    one = b.compile(traversal="pallas", static_split=1)
+    split = b.compile(traversal="pallas", static_split=2)
+    assert len(one.ktab_xf) == 1 and len(split.ktab_xf) == 2
+    assert all(x == 0 for x in split.ktab_xf)
+
+    n = 512
+    o, d = _random_rays(n, seed=23)
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+    time = jnp.zeros((n,), jnp.float32)
+    h1 = scene_intersect(one, o, d, time, 1e-4, tmax)
+    h2 = scene_intersect(split, o, d, time, 1e-4, tmax)
+    np.testing.assert_array_equal(np.asarray(h2.valid), np.asarray(h1.valid))
+    np.testing.assert_array_equal(np.asarray(h2.shape_id),
+                                  np.asarray(h1.shape_id))
+    np.testing.assert_array_equal(np.asarray(h2.t), np.asarray(h1.t))
+    occ1, _ = scene_occluded(one, o, d, time, 1e-4, jnp.full((n,), 6.0))
+    occ2, _ = scene_occluded(split, o, d, time, 1e-4, jnp.full((n,), 6.0))
+    np.testing.assert_array_equal(np.asarray(occ2), np.asarray(occ1))
+
+
 def test_streamed_tri_table_parity(monkeypatch):
     """Tables beyond TRI_CHUNK clusters stream through VMEM in chunks
     (VERDICT r2 item 4 — no ktab_fits size cap anymore). Forcing a tiny
