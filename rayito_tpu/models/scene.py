@@ -682,6 +682,12 @@ class Scene:
         traverse_b, traverse_wide, traverse_sub = _pt.B, _pt.WIDE, _pt.SUB
         sort_occl = os.environ.get("RAYITO_SORT_OCCL", "1") != "0"
         share_occl_sort = os.environ.get("RAYITO_SHARE_OCCL_SORT", "0") == "1"
+        traverse_prune = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
+        if traverse_prune not in ("0", "1", "anyhit"):
+            raise ValueError(
+                "RAYITO_TRAVERSE_PRUNE must be '0'|'1'|'anyhit', "
+                f"got {traverse_prune!r}"
+            )
 
         ktab_tri, ktab_box, ktab_base, ktab_xf, ktab_seg = [], [], [], [], []
         ktab_mxu = []
@@ -955,6 +961,7 @@ class Scene:
             traverse_sub=traverse_sub,
             sort_occl=sort_occl,
             share_occl_sort=share_occl_sort,
+            traverse_prune=traverse_prune,
             light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
             light_index=dev(np.array(light_index, i32).reshape(n_l)),
             light_shape_id=dev(np.array(light_shape_id, i32).reshape(n_l)),
@@ -1121,9 +1128,17 @@ class SceneData:
     # occlusion launches of a bounce (trace.scene_occluded_pair — saves a
     # key+sort per launch and merges the two unsorts into one packed sort,
     # at the price of octant incoherence in the ray blocks); resolved from
-    # RAYITO_SHARE_OCCL_SORT at compile (BENCH_NOTES.md round-4 lead 3)
+    # RAYITO_SHARE_OCCL_SORT at compile. MEASURED a 18% stage-6 loss
+    # (BENCH_NOTES round 4) — kept as a tested option, default off.
     share_occl_sort: bool = dataclasses.field(
         metadata=dict(static=True), default=False
+    )
+    # in-kernel best-t cluster prune / any-hit lane freeze ('0' off | '1'
+    # everywhere | 'anyhit' occlusion only): measured a loss at stage-6
+    # depth-3 occupancy (BENCH_NOTES), kept for depth/occupancy sweeps;
+    # resolved from RAYITO_TRAVERSE_PRUNE at compile
+    traverse_prune: str = dataclasses.field(
+        metadata=dict(static=True), default="0"
     )
 
     # -- static (trace-time) counts --

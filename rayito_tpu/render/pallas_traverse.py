@@ -116,10 +116,14 @@ NSUB = (B // SUB) if SUB else 1
 # for the same compiled SceneData (round-3 verdict weak #8).
 
 
-def _prune_for(any_hit: bool) -> bool:
-    if _PRUNE_MODE == "1":
+def _prune_for(any_hit: bool, mode: str | None = None) -> bool:
+    """``mode``: '0'|'1'|'anyhit' — compiled scenes pass their own
+    SceneData.traverse_prune (trace.py); None falls back to the module
+    env default (direct callers)."""
+    mode = _PRUNE_MODE if mode is None else mode
+    if mode == "1":
         return True
-    if _PRUNE_MODE == "anyhit":
+    if mode == "anyhit":
         return any_hit
     return False
 
@@ -1400,7 +1404,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              want_t: bool = True, mt_mode: str = "vpu",
              any_hit: bool = False, items: bool | None = None,
              b: int | None = None, wide: int | None = None,
-             sub: int | None = None, perm=None, ret_sorted: bool = False):
+             sub: int | None = None, perm=None, ret_sorted: bool = False,
+             prune_mode: str | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1538,7 +1543,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         items
         and nsub == 1
         and mt_mode != "mxu"
-        and not _prune_for(any_hit)
+        and not _prune_for(any_hit, prune_mode)
         # the packed item word gives the cluster id _CIDBITS bits; a domain
         # beyond that (>1M tris at KTRI=128) would silently corrupt bid
         and jnp.asarray(tables.tri).shape[0] <= (1 << _CIDBITS)
@@ -1548,7 +1553,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         return _traverse_blocks(
             masks, soat, tables.tri, jnp.asarray(tables.cl_box),
             tmin=float(tmin), interpret=bool(interpret), mt_mode=mt_mode,
-            prune=_prune_for(any_hit), any_hit=any_hit, b=b, wide=wide,
+            prune=_prune_for(any_hit, prune_mode), any_hit=any_hit, b=b, wide=wide,
             sub=sub,
         )
 

@@ -517,6 +517,7 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
             o_l, d_l, jnp.minimum(t_best, tmax), _domain_view(scene, di, mt),
             tmin, want_t=False, mt_mode=mt, b=scene.traverse_b,
             wide=scene.traverse_wide, sub=scene.traverse_sub,
+            prune_mode=scene.traverse_prune,
         )
         # winner re-test per domain: exact t + barycentrics + shading meta
         # from ONE fused 32-col row gather (the kernel's packed key carries
@@ -784,7 +785,7 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 _domain_view(scene, di, mt), tmin, want_t=False,
                 mt_mode=mt, sort_rays=None if scene.sort_occl else False,
                 b=scene.traverse_b, wide=scene.traverse_wide,
-                sub=scene.traverse_sub,
+                sub=scene.traverse_sub, prune_mode=scene.traverse_prune,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
                 # mxu/bw paths' approximate winners need the re-test below)
@@ -888,6 +889,7 @@ def scene_occluded_pair(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
                 want_t=False, mt_mode=mt, any_hit=True,
                 b=scene.traverse_b, wide=scene.traverse_wide,
                 sub=scene.traverse_sub, perm=perm, ret_sorted=True,
+                prune_mode=scene.traverse_prune,
             )
             hit_s |= p_s >= 0
         hits_sorted.append(hit_s)

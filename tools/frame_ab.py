@@ -93,9 +93,14 @@ def main():
     ap.add_argument("--b", required=True)
     ap.add_argument("--pairs", type=int, default=3)
     ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=None,
+                    help="override max_depth on BOTH sides (e.g. prune A/B "
+                    "at depth 8)")
     args = ap.parse_args()
 
     builder, cam, cfg = make(args.scene)
+    if args.depth is not None:
+        cfg = dataclasses.replace(cfg, max_depth=args.depth)
     COMPILE_FIELDS = ("static_split", "cluster_cuts", "traverse_mt")
     scene0 = None if args.field in COMPILE_FIELDS else builder.compile()
 
@@ -126,7 +131,8 @@ def main():
         fa = frame_args(c2)
         m, img = run_frames(sc, c2, cam, *fa, 1)
         imgs[tag] = np.asarray(img)
-        print(f"warm {tag} ({args.field}={getattr(sc, args.field) if hasattr(scene0, args.field) else getattr(c2, args.field)}): {m:.2f} Mrays/s", flush=True)
+        val = args.a if tag == "A" else args.b
+        print(f"warm {tag} ({args.field}={val}): {m:.2f} Mrays/s", flush=True)
     if imgs["A"].shape == imgs["B"].shape:
         same = np.array_equal(imgs["A"], imgs["B"])
         print(f"images bit-identical: {same}", flush=True)
