@@ -113,13 +113,22 @@ def cmj_permute(i: jnp.ndarray, num, permutation: jnp.ndarray) -> jnp.ndarray:
     # do { ... } while (i >= num), masked so converged lanes hold their value.
     i = round_fn(i)
 
-    def cond(x):
-        return jnp.any(x >= num_u)
+    # Power-of-two num: round_fn ends with `x &= w` (w = num-1, all ones)
+    # followed by `x ^= x >> 5`, which cannot leave [0, w] — the cycle-walk
+    # condition is false on every lane, so the while_loop below would never
+    # iterate. Skipping it is bit-identical and matters structurally: each
+    # while_loop is a fusion boundary plus a [N]-wide any() reduce per call,
+    # and the integrator issues ~11 permutes per bounce (pathtracer.py).
+    # ``num`` is static, so this resolves at trace time.
+    if num & (num - 1):
 
-    def body(x):
-        return jnp.where(x >= num_u, round_fn(x), x)
+        def cond(x):
+            return jnp.any(x >= num_u)
 
-    i = jax.lax.while_loop(cond, body, i)
+        def body(x):
+            return jnp.where(x >= num_u, round_fn(x), x)
+
+        i = jax.lax.while_loop(cond, body, i)
     return (i + permutation) % num_u
 
 
