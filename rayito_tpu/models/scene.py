@@ -682,6 +682,7 @@ class Scene:
         traverse_b, traverse_wide, traverse_sub = _pt.B, _pt.WIDE, _pt.SUB
         sort_occl = os.environ.get("RAYITO_SORT_OCCL", "1") != "0"
         share_occl_sort = os.environ.get("RAYITO_SHARE_OCCL_SORT", "0") == "1"
+        fuse_sort = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
         traverse_prune = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
         if traverse_prune not in ("0", "1", "anyhit"):
             raise ValueError(
@@ -962,6 +963,7 @@ class Scene:
             sort_occl=sort_occl,
             share_occl_sort=share_occl_sort,
             traverse_prune=traverse_prune,
+            fuse_sort=fuse_sort,
             light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
             light_index=dev(np.array(light_index, i32).reshape(n_l)),
             light_shape_id=dev(np.array(light_shape_id, i32).reshape(n_l)),
@@ -1139,6 +1141,15 @@ class SceneData:
     # resolved from RAYITO_TRAVERSE_PRUNE at compile
     traverse_prune: str = dataclasses.field(
         metadata=dict(static=True), default="0"
+    )
+    # fused coherence sort: carry the 8 ray columns through the global
+    # sort as extra operands instead of sort-then-[N,8]-row-gather.
+    # MEASURED a 24% stage-6 loss (BENCH_NOTES round 4) — the sort
+    # network moves the payload log-N times, the gather moves it once;
+    # default off, kept as a parity-tested option. Resolved from
+    # RAYITO_FUSE_SORT at compile.
+    fuse_sort: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
     )
 
     # -- static (trace-time) counts --

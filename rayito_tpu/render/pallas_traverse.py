@@ -107,6 +107,14 @@ WIDE = int(os.environ.get("RAYITO_TRAVERSE_WIDE", "4"))
 # max over subs of |union(SUB)| (offline on stage-6: 0.62-0.65x at
 # SUB=32, tools/subblock_mt_check.py). 0 = off (single B-wide union).
 SUB = int(os.environ.get("RAYITO_TRAVERSE_SUB", "0"))
+# fused coherence sort: carry the 8 ray columns through the global sort
+# as extra operands instead of sort-then-[N,8]-row-gather. MEASURED a 24%
+# stage-6 LOSS (9.29 vs 12.20 interleaved medians, BENCH_NOTES round 4):
+# the 8 f32 payloads ride every sort-network stage, while the row gather
+# they replace is cheap on production's coherent permutations
+# (0.24 ms/launch — random-perm microbenches overstate it 6x). Default
+# OFF; kept as a parity-tested option (test_fused_sort_bit_identical).
+FUSE_SORT = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
 validate_knobs(B, WIDE, SUB)
 NSUB = (B // SUB) if SUB else 1
 # NOTE: B/WIDE/SUB above are module-level env DEFAULTS only. The compiled
@@ -1405,7 +1413,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              any_hit: bool = False, items: bool | None = None,
              b: int | None = None, wide: int | None = None,
              sub: int | None = None, perm=None, ret_sorted: bool = False,
-             prune_mode: str | None = None):
+             prune_mode: str | None = None,
+             fuse_sort: bool | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1434,6 +1443,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     b = B if b is None else int(b)
     wide = WIDE if wide is None else int(wide)
     sub = SUB if sub is None else int(sub)
+    fuse_sort = FUSE_SORT if fuse_sort is None else bool(fuse_sort)
     validate_knobs(b, wide, sub)
     nsub = (b // sub) if sub else 1
     rbm = (SB // b) * nsub
@@ -1500,9 +1510,31 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
                 # morton MSBs) give ~16-ray buckets at 131k lanes — far
                 # finer than the B-ray block granularity that matters.
                 packed = ((key >> 17) << 17) | lane_ids
-                perm = jax.lax.sort(packed) & jnp.int32((1 << 17) - 1)
+                if fuse_sort:
+                    # carry the 8 data columns THROUGH the sort instead of
+                    # sort-then-row-gather: the [N, 8] permutation gather
+                    # measured 0.24 ms/launch on hardware (the single
+                    # biggest "other" op, fusion attribution round 4) while
+                    # a sort operand's marginal cost is ~0.017 ms — a 9-op
+                    # sort replaces (1-op sort + row gather) at ~2/3 cost.
+                    outs = jax.lax.sort(
+                        (packed,) + tuple(col(k) for k in range(8)),
+                        num_keys=1,
+                    )
+                    perm = outs[0] & jnp.int32((1 << 17) - 1)
+                    soa8 = jnp.stack(outs[1:], axis=1)
+                else:
+                    perm = jax.lax.sort(packed) & jnp.int32((1 << 17) - 1)
             else:
-                _, perm = jax.lax.sort((key, lane_ids), num_keys=1)
+                if fuse_sort:
+                    outs = jax.lax.sort(
+                        (key, lane_ids) + tuple(col(k) for k in range(8)),
+                        num_keys=1,
+                    )
+                    perm = outs[1]
+                    soa8 = jnp.stack(outs[2:], axis=1)
+                else:
+                    _, perm = jax.lax.sort((key, lane_ids), num_keys=1)
         else:
             ids2 = jnp.broadcast_to(
                 jnp.arange(SB, dtype=jnp.int32)[None, :], (n_steps, SB)
@@ -1514,7 +1546,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
             perm = (
                 jnp.arange(n_steps, dtype=jnp.int32)[:, None] * SB + pl_
             ).reshape(-1)
-        soa8 = soa8[perm]  # ONE row gather for all 8 components
+        if not (fuse_sort and mode == "global"):
+            soa8 = soa8[perm]  # ONE row gather for all 8 components
 
     soat = soa8.reshape(n_steps, SB, 8)
     c_pad = jnp.asarray(tables.cl_box).shape[1]

@@ -517,7 +517,7 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
             o_l, d_l, jnp.minimum(t_best, tmax), _domain_view(scene, di, mt),
             tmin, want_t=False, mt_mode=mt, b=scene.traverse_b,
             wide=scene.traverse_wide, sub=scene.traverse_sub,
-            prune_mode=scene.traverse_prune,
+            prune_mode=scene.traverse_prune, fuse_sort=scene.fuse_sort,
         )
         # winner re-test per domain: exact t + barycentrics + shading meta
         # from ONE fused 32-col row gather (the kernel's packed key carries
@@ -786,6 +786,7 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 mt_mode=mt, sort_rays=None if scene.sort_occl else False,
                 b=scene.traverse_b, wide=scene.traverse_wide,
                 sub=scene.traverse_sub, prune_mode=scene.traverse_prune,
+                fuse_sort=scene.fuse_sort,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
                 # mxu/bw paths' approximate winners need the re-test below)

@@ -444,3 +444,32 @@ def test_items_build_overflow_and_alignment():
     # per-block CAP breach also flags
     _, _, overflow, _ = _build_items(jnp.asarray(dense), w, 1024, 8)
     assert bool(overflow)
+
+
+def test_fused_sort_bit_identical():
+    """fuse_sort carries the ray columns through the coherence sort as
+    extra sort operands instead of sort-then-row-gather; outputs must be
+    bit-identical to the gather form (same perm: the packed key embeds
+    the lane id, and lax.sort is stable either way)."""
+    centers, v0, v1, v2 = _geometry(300, seed=21)
+    rs = np.random.default_rng(22)
+    n = 500
+    o = (centers.mean(0) + rs.normal(0, 20, (n, 3))).astype(np.float32)
+    tgt = centers[rs.integers(0, 300, n)]
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    valid = np.ones(300, bool)
+    tbl = _Tbl(build_kernel_tables(v0, v1, v2, valid))
+    tmax = jnp.full((n,), jnp.inf)
+    args = (
+        V3(*(jnp.asarray(o[:, k]) for k in range(3))),
+        V3(*(jnp.asarray(d[:, k]) for k in range(3))),
+        tmax, tbl, 1e-4,
+    )
+    for any_hit in (False, True):
+        t_g, p_g = traverse(*args, interpret=True, sort_rays=True,
+                            fuse_sort=False, any_hit=any_hit)
+        t_f, p_f = traverse(*args, interpret=True, sort_rays=True,
+                            fuse_sort=True, any_hit=any_hit)
+        np.testing.assert_array_equal(np.asarray(p_g), np.asarray(p_f))
+        np.testing.assert_array_equal(np.asarray(t_g), np.asarray(t_f))
