@@ -94,7 +94,15 @@ def main(argv=None):
                         "(default 8652) — the Qt window's watching role")
     p.add_argument("--sharded", action="store_true",
                    help="shard the wavefront over all local devices")
+    p.add_argument("--interactive", action="store_true",
+                   help="with --view: after the first render, keep serving "
+                        "and re-render on knob submissions from the page — "
+                        "the Qt GUI's spinbox/render-button loop "
+                        "(MainWindow.cpp:139-236). Each re-render rewrites "
+                        "the output file; Ctrl-C exits.")
     args = p.parse_args(argv)
+    if args.interactive and args.view is None:
+        p.error("--interactive requires --view")
 
     from .models.camera import PerspectiveCamera
     from .utils.config import RenderConfig
@@ -178,8 +186,21 @@ def main(argv=None):
         if args.view is not None:
             from .utils.viewer import LiveViewer
 
+            knobs = None
+            if args.interactive:
+                knobs = {
+                    "width": args.width, "height": args.height,
+                    "pixel_samples": args.pixel_samples,
+                    "light_samples": args.light_samples,
+                    "depth": args.depth, "fov": fov,
+                    "focal_distance": args.focal_distance,
+                    "lens_radius": args.lens_radius,
+                    "shutter_open": args.shutter[0],
+                    "shutter_close": args.shutter[1],
+                    "exposure": args.exposure, "gamma": args.gamma,
+                }
             viewer = LiveViewer(port=args.view, exposure=args.exposure,
-                                gamma=args.gamma)
+                                gamma=args.gamma, knobs=knobs)
             print(
                 f"[rayito_tpu] live preview at http://localhost:"
                 f"{viewer.port}/",
@@ -212,17 +233,113 @@ def main(argv=None):
         file=sys.stderr,
     )
 
-    out = img
-    if args.diagnostic_colors:
-        out = diagnostic_colors(out)
-    if args.pfm:
-        write_pfm(args.output, out)
-    else:
-        if mode == "path" and not args.no_tonemap:
-            out = tone_map(out, args.exposure, args.gamma)
-        write_ppm(args.output, out)
-    print(f"[rayito_tpu] wrote {args.output}", file=sys.stderr)
+    def write_out(img):
+        out = img
+        if args.diagnostic_colors:
+            out = diagnostic_colors(out)
+        if args.pfm:
+            write_pfm(args.output, out)
+        else:
+            if mode == "path" and not args.no_tonemap:
+                out = tone_map(out, args.exposure, args.gamma)
+            write_ppm(args.output, out)
+        print(f"[rayito_tpu] wrote {args.output}", file=sys.stderr)
+
+    write_out(img)
+
+    if args.interactive and mode == "path" and viewer is not None:
+        _interactive_loop(args, scene, cam_spec, viewer, write_out)
     return 0
+
+
+# knob name -> (args attribute, coercion). shutter_* map into the 2-tuple.
+_KNOB_TYPES = {
+    "width": int, "height": int, "pixel_samples": int,
+    "light_samples": int, "depth": int, "fov": float,
+    "focal_distance": float, "lens_radius": float,
+    "shutter_open": float, "shutter_close": float,
+    "exposure": float, "gamma": float,
+}
+
+
+def apply_knobs(args, fov, req):
+    """Coerce a {name: string} knob submission onto the arg namespace;
+    invalid values keep the old setting. Returns the (possibly updated)
+    fov. Pure argument plumbing — split out for unit testing."""
+    for name, raw in req.items():
+        ctor = _KNOB_TYPES.get(name)
+        if ctor is None:
+            continue
+        try:
+            val = ctor(float(raw)) if ctor is int else ctor(raw)
+        except (TypeError, ValueError):
+            continue
+        if ctor is int and val < 1:
+            continue
+        if name == "fov":
+            fov = val
+        elif name == "shutter_open":
+            args.shutter = (val, args.shutter[1])
+        elif name == "shutter_close":
+            args.shutter = (args.shutter[0], val)
+        elif name == "depth":
+            args.depth = val
+        else:
+            setattr(args, name, val)
+    return fov
+
+
+def _interactive_loop(args, scene, cam_spec, viewer, write_out):
+    """Serve knob-change re-renders until Ctrl-C — the Qt GUI's
+    spinbox/render-button loop (MainWindow.cpp:139-236: the reference
+    rebuilds params and calls raytrace on every button click)."""
+    from .models.camera import PerspectiveCamera
+    from .render.progressive import render_progressive
+    from .utils.config import RenderConfig
+
+    fov = float(viewer.knobs["fov"])
+    viewer.set_state("idle")
+    print(
+        "[rayito_tpu] interactive: edit knobs on the page and press "
+        "Render (Ctrl-C to exit)",
+        file=sys.stderr,
+    )
+    while True:
+        try:
+            req = viewer.wait_knobs()
+        except KeyboardInterrupt:
+            print("[rayito_tpu] interactive loop closed", file=sys.stderr)
+            return
+        fov = apply_knobs(args, fov, req)
+        viewer.exposure = args.exposure
+        viewer.gamma = args.gamma
+        cfg = RenderConfig(
+            width=args.width, height=args.height,
+            pixel_samples=args.pixel_samples,
+            light_samples=args.light_samples, max_depth=args.depth,
+            gamma=args.gamma, exposure=args.exposure, seed=args.seed,
+        )
+        camera = PerspectiveCamera.make(
+            fov, *cam_spec,
+            focal_distance=args.focal_distance,
+            lens_radius=args.lens_radius,
+            shutter_open=args.shutter[0], shutter_close=args.shutter[1],
+        )
+        viewer.set_state("rendering")
+        t0 = time.perf_counter()
+        img, stats = render_progressive(
+            scene, cfg, camera, on_preview=viewer.on_preview
+        )
+        viewer.update(img, stats)
+        viewer.set_state("idle")
+        print(
+            f"[rayito_tpu] re-rendered {cfg.width}x{cfg.height} "
+            f"spp={cfg.pixel_samples ** 2} depth={cfg.max_depth} in "
+            f"{time.perf_counter() - t0:.1f}s "
+            f"({stats.mrays_per_sec:.2f} Mrays/s)",
+            file=sys.stderr,
+        )
+        write_out(img)
 
 
 if __name__ == "__main__":

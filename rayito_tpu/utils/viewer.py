@@ -18,6 +18,7 @@ render loop only one tone-map + PNG deflate per sample chunk.
 from __future__ import annotations
 
 import json
+import queue
 import struct
 import threading
 import zlib
@@ -54,10 +55,14 @@ def encode_png(rgb8: np.ndarray) -> bytes:
 _PAGE = """<!doctype html>
 <html><head><title>rayito_tpu live render</title>
 <style>body{background:#111;color:#ddd;font-family:monospace;text-align:center}
-img{image-rendering:pixelated;max-width:95vw;border:1px solid #444}</style>
+img{image-rendering:pixelated;max-width:95vw;border:1px solid #444}
+#k label{display:inline-block;margin:2px 6px;font-size:12px}
+#k input{width:5em;background:#222;color:#ddd;border:1px solid #555}
+#k button{margin:4px;padding:2px 14px}</style>
 </head><body>
 <h3>rayito_tpu progressive render</h3>
 <img id="f" src="/frame.png"><p id="s"></p>
+<div id="k"></div>
 <script>
 setInterval(async () => {
   document.getElementById('f').src = '/frame.png?' + Date.now();
@@ -65,9 +70,35 @@ setInterval(async () => {
     const st = await (await fetch('/stats.json')).json();
     document.getElementById('s').textContent =
       `samples ${st.samples_done}/${st.samples_total}  ` +
-      `${st.seconds.toFixed(1)}s  ${st.mrays_per_sec.toFixed(2)} Mrays/s`;
+      `${st.seconds.toFixed(1)}s  ${st.mrays_per_sec.toFixed(2)} Mrays/s` +
+      (st.state ? `  [${st.state}]` : '');
   } catch (e) {}
 }, 1000);
+// interactive knobs (the Qt spinboxes): present only when the server was
+// started with a knob set (cli --interactive)
+(async () => {
+  const r = await fetch('/knobs.json');
+  if (!r.ok) return;
+  const knobs = await r.json();
+  const k = document.getElementById('k');
+  for (const [name, val] of Object.entries(knobs)) {
+    const l = document.createElement('label');
+    l.textContent = name + ' ';
+    const i = document.createElement('input');
+    i.id = 'kn_' + name; i.value = val;
+    l.appendChild(i); k.appendChild(l);
+  }
+  const b = document.createElement('button');
+  b.textContent = 'Render';
+  b.onclick = async () => {
+    const body = {};
+    for (const name of Object.keys(knobs))
+      body[name] = document.getElementById('kn_' + name).value;
+    await fetch('/render', {method: 'POST', body: JSON.stringify(body)});
+  };
+  k.appendChild(document.createElement('br'));
+  k.appendChild(b);
+})();
 </script></body></html>"""
 
 
@@ -77,15 +108,22 @@ class LiveViewer:
     render_progressive."""
 
     def __init__(self, port: int = 8652, exposure: float = 0.0,
-                 gamma: float = 2.2, host: str = "0.0.0.0"):
+                 gamma: float = 2.2, host: str = "0.0.0.0",
+                 knobs: dict | None = None):
         self._lock = threading.Lock()
         self._png = encode_png(np.zeros((2, 2, 3), np.uint8))
         self._stats = {
             "samples_done": 0, "samples_total": 0, "seconds": 0.0,
-            "rays_traced": 0, "mrays_per_sec": 0.0,
+            "rays_traced": 0, "mrays_per_sec": 0.0, "state": "rendering",
         }
         self.exposure = exposure
         self.gamma = gamma
+        # interactive re-render (the Qt GUI's knob-change loop,
+        # MainWindow.cpp:139-236): when a knob dict is supplied, "/" shows
+        # editable fields and POST /render enqueues the submitted values;
+        # the driver loop consumes them via wait_knobs() and re-renders.
+        self.knobs = dict(knobs) if knobs is not None else None
+        self._knob_queue: queue.Queue = queue.Queue()
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -101,6 +139,14 @@ class LiveViewer:
                     with viewer._lock:
                         body = json.dumps(viewer._stats).encode()
                     ctype = "application/json"
+                elif path == "/knobs.json":
+                    if viewer.knobs is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    with viewer._lock:
+                        body = json.dumps(viewer.knobs).encode()
+                    ctype = "application/json"
                 elif path == "/":
                     body, ctype = _PAGE.encode(), "text/html"
                 else:
@@ -113,6 +159,25 @@ class LiveViewer:
                 self.send_header("Cache-Control", "no-store")
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path.split("?")[0] != "/render" or viewer.knobs is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                n = int(self.headers.get("Content-Length", "0"))
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError("knob payload must be an object")
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                viewer._knob_queue.put(req)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
@@ -140,6 +205,25 @@ class LiveViewer:
     # signature matches render_progressive's on_preview
     def on_preview(self, img: np.ndarray, stats) -> None:
         self.update(img, stats)
+
+    def set_state(self, state: str) -> None:
+        """'rendering' | 'idle' — shown on the page."""
+        with self._lock:
+            self._stats["state"] = state
+
+    def wait_knobs(self, poll: float = 0.25):
+        """Block until the page submits a knob set (POST /render); returns
+        the raw {name: string} dict. Polls so Ctrl-C interrupts promptly."""
+        while True:
+            try:
+                req = self._knob_queue.get(timeout=poll)
+            except queue.Empty:
+                continue
+            with self._lock:
+                self.knobs.update(
+                    {k: v for k, v in req.items() if k in self.knobs}
+                )
+            return req
 
     def close(self) -> None:
         self._server.shutdown()

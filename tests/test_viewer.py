@@ -2,6 +2,7 @@
 
 import json
 import struct
+import urllib.error
 import urllib.request
 import zlib
 
@@ -90,3 +91,79 @@ def test_progressive_on_preview_feed():
     assert seen[-1][1] == stats.samples_total
     np.testing.assert_allclose(seen[-1][0], img, rtol=1e-6)
     assert seen[0][0].shape == (6, 8, 3)
+
+
+def test_viewer_interactive_knobs_roundtrip():
+    """Interactive mode: /knobs.json serves the knob set, POST /render
+    enqueues a submission that wait_knobs() returns, and the stored knob
+    values update (the Qt spinbox round trip)."""
+    v = LiveViewer(port=0, knobs={"width": 640, "exposure": 0.0})
+    try:
+        base = f"http://127.0.0.1:{v.port}"
+        got = json.loads(
+            urllib.request.urlopen(base + "/knobs.json", timeout=10).read()
+        )
+        assert got == {"width": 640, "exposure": 0.0}
+        assert b"knobs.json" in urllib.request.urlopen(
+            base + "/", timeout=10).read()
+        body = json.dumps(
+            {"width": "320", "exposure": "1.5", "bogus": "1"}).encode()
+        req = urllib.request.Request(base + "/render", data=body,
+                                     method="POST")
+        assert urllib.request.urlopen(req, timeout=10).status == 200
+        sub = v.wait_knobs()
+        assert sub["width"] == "320" and sub["exposure"] == "1.5"
+        assert v.knobs == {"width": "320", "exposure": "1.5"}  # bogus dropped
+        v.set_state("rendering")
+        st = json.loads(
+            urllib.request.urlopen(base + "/stats.json", timeout=10).read()
+        )
+        assert st["state"] == "rendering"
+    finally:
+        v.close()
+
+
+def test_viewer_knobs_disabled_by_default():
+    v = LiveViewer(port=0)
+    try:
+        base = f"http://127.0.0.1:{v.port}"
+        try:
+            urllib.request.urlopen(base + "/knobs.json", timeout=10)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        body = json.dumps({"width": "1"}).encode()
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(base + "/render", data=body,
+                                       method="POST"), timeout=10)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        v.close()
+
+
+def test_apply_knobs_coercion():
+    """Knob strings coerce onto the arg namespace; invalid values keep
+    the old setting; fov and shutter route specially."""
+    import argparse
+
+    from rayito_tpu.cli import apply_knobs
+
+    ns = argparse.Namespace(
+        width=640, height=480, pixel_samples=2, light_samples=1, depth=3,
+        focal_distance=16.0, lens_radius=0.0, shutter=(0.0, 1.0),
+        exposure=0.0, gamma=2.2,
+    )
+    fov = apply_knobs(ns, 30.0, {
+        "width": "320", "depth": "8", "fov": "45",
+        "shutter_open": "0.25", "gamma": "junk", "pixel_samples": "0",
+        "lens_radius": "0.5", "unknown": "9",
+    })
+    assert fov == 45.0
+    assert ns.width == 320 and ns.depth == 8
+    assert ns.shutter == (0.25, 1.0)
+    assert ns.gamma == 2.2          # junk ignored
+    assert ns.pixel_samples == 2    # < 1 ignored
+    assert ns.lens_radius == 0.5
