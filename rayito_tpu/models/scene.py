@@ -683,6 +683,7 @@ class Scene:
         sort_occl = os.environ.get("RAYITO_SORT_OCCL", "1") != "0"
         share_occl_sort = os.environ.get("RAYITO_SHARE_OCCL_SORT", "0") == "1"
         fuse_sort = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
+        mask_gate = os.environ.get("RAYITO_MASK_GATE", "1") != "0"
         traverse_prune = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
         if traverse_prune not in ("0", "1", "anyhit"):
             raise ValueError(
@@ -964,6 +965,7 @@ class Scene:
             share_occl_sort=share_occl_sort,
             traverse_prune=traverse_prune,
             fuse_sort=fuse_sort,
+            mask_gate=mask_gate,
             light_kind=dev(np.array(light_kind, i32).reshape(n_l)),
             light_index=dev(np.array(light_index, i32).reshape(n_l)),
             light_shape_id=dev(np.array(light_shape_id, i32).reshape(n_l)),
@@ -1150,6 +1152,14 @@ class SceneData:
     # RAYITO_FUSE_SORT at compile.
     fuse_sort: bool = dataclasses.field(
         metadata=dict(static=True), default=False
+    )
+    # group-root mask gate: on multi-group domains (>1024 clusters) the
+    # mask kernel pre-tests each 1024-cluster group's root box per
+    # ray-block and skips structurally-all-zero group slabs. Bit-identical
+    # (cluster-in-root nesting). No effect on single-group scenes;
+    # resolved from RAYITO_MASK_GATE at compile.
+    mask_gate: bool = dataclasses.field(
+        metadata=dict(static=True), default=True
     )
 
     # -- static (trace-time) counts --

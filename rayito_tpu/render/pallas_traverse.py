@@ -115,6 +115,10 @@ SUB = int(os.environ.get("RAYITO_TRAVERSE_SUB", "0"))
 # (0.24 ms/launch — random-perm microbenches overstate it 6x). Default
 # OFF; kept as a parity-tested option (test_fused_sort_bit_identical).
 FUSE_SORT = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
+# group-root mask gate (multi-group scenes only, i.e. >1024 clusters):
+# per ray-block, a [b, 128] pre-test against each 1024-cluster group's
+# root box skips structurally-all-zero group slabs (see _mask_kernel).
+MASK_GATE = os.environ.get("RAYITO_MASK_GATE", "1") != "0"
 validate_knobs(B, WIDE, SUB)
 NSUB = (B // SUB) if SUB else 1
 # NOTE: B/WIDE/SUB above are module-level env DEFAULTS only. The compiled
@@ -1112,8 +1116,9 @@ def _mask_kernel(
     soat_ref,  # [1, SB, 8] f32 rays (same layout as the traversal kernel)
     box_ref,  # [8, C_pad] f32 cluster slab rows
     pack_ref,  # [G*1024, 64] f32 per-group bit-pack weights (lo | hi cols)
-    out_ref,  # [1, rb*nsub, G*64] f32 packed halves, combined outside
-    *, tmin: float, n_words: int, b: int = B, sub: int = SUB,
+    *rest,  # [gate] ([8, 128] group-root slab rows, iff gate) + out_ref
+    tmin: float, n_words: int, b: int = B, sub: int = SUB,
+    gate: bool = False,
 ):
     """Per-ray-block cluster masks, VMEM-resident. The XLA version of this
     computation fused perfectly in isolation (1.74 ms/131k rays) but inside
@@ -1132,11 +1137,27 @@ def _mask_kernel(
     guard on max(tmax) skips the dense [B, C_pad] slab work for fully-dead
     steps and writes the identical all-zero masks directly. At depth-3
     stage-6 occupancy a third or more of (launch, step) pairs are fully
-    dead."""
+    dead.
+
+    Group-root gate (``gate``, multi-group scenes only): the caller
+    supplies each 1024-cluster group's root box (union of its cluster
+    boxes) as slab rows; per ray-block one [b, 128] pre-test decides per
+    group whether ANY ray can hit it — cluster-in-root nesting makes
+    slab-hit(cluster) imply slab-hit(root), so a missed root means the
+    group's [b, 1024] slab + pack is structurally all-zero and is skipped
+    (pl.when). BVH-DFS cluster order makes groups spatially contiguous,
+    so coherently-sorted blocks usually land in one group."""
     del n_words
+    if gate:
+        root_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+        root_ref = None
     rb = SB // b
     nsub = (b // sub) if sub else 1
     box = box_ref[...]
+    groups = (pack_ref.shape[0]) // 1024
+    c_pad = box.shape[1]
     step_alive = jnp.max(soat_ref[0, :, 6:7]) > 0.0
 
     @pl.when(jnp.logical_not(step_alive))
@@ -1150,48 +1171,77 @@ def _mask_kernel(
         dx, dy, dz = rd(3), rd(4), rd(5)
         tmax = rd(6)
         ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-        tx0 = (box[0:1, :] - ox) * ix
-        ty0 = (box[1:2, :] - oy) * iy
-        tz0 = (box[2:3, :] - oz) * iz
-        tx1 = (box[3:4, :] - ox) * ix
-        ty1 = (box[4:5, :] - oy) * iy
-        tz1 = (box[5:6, :] - oz) * iz
-        near = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.minimum(tz0, tz1),
-        )
-        far = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.maximum(tz0, tz1),
-        )
-        hit = (jnp.maximum(near, tmin) <= jnp.minimum(far, tmax)) & (
-            far >= tmin
-        )
-        hf = hit.astype(jnp.float32)
-        if nsub == 1:
-            any_hit = jnp.max(hf, axis=0, keepdims=True)
-        else:
-            # per-sub-ray-group any-hit rows (static slices of the one
-            # shared [b, C_pad] slab result — the slab work is unchanged)
-            any_hit = jnp.concatenate(
-                [
-                    jnp.max(hf[s * sub : (s + 1) * sub], 0, keepdims=True)
-                    for s in range(nsub)
-                ],
-                axis=0,
-            )  # [nsub, C_pad]
-        # one [NSUB, <=1024] x [<=1024, 64] pack matmul per 1024-cluster
-        # group (static loop; G=1 for <=1024 clusters) -> [NSUB, G*64]
-        groups = (pack_ref.shape[0]) // 1024
-        parts = []
+
+        def slab(bx):
+            tx0 = (bx[0:1, :] - ox) * ix
+            ty0 = (bx[1:2, :] - oy) * iy
+            tz0 = (bx[2:3, :] - oz) * iz
+            tx1 = (bx[3:4, :] - ox) * ix
+            ty1 = (bx[4:5, :] - oy) * iy
+            tz1 = (bx[5:6, :] - oz) * iz
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            return (jnp.maximum(near, tmin) <= jnp.minimum(far, tmax)) & (
+                far >= tmin
+            )
+
+        def pack(hit, g):
+            """[b, width] group slab result -> [nsub, 64] packed halves."""
+            hf = hit.astype(jnp.float32)
+            if nsub == 1:
+                any_hit = jnp.max(hf, axis=0, keepdims=True)
+            else:
+                # per-sub-ray-group any-hit rows (static slices of the one
+                # shared [b, width] slab result — the slab work is
+                # unchanged)
+                any_hit = jnp.concatenate(
+                    [
+                        jnp.max(hf[s * sub : (s + 1) * sub], 0, keepdims=True)
+                        for s in range(nsub)
+                    ],
+                    axis=0,
+                )  # [nsub, width]
+            w_g = pack_ref[g * 1024 : g * 1024 + any_hit.shape[1], :]
+            return jnp.dot(any_hit, w_g, preferred_element_type=jnp.float32)
+
+        if not (gate and groups > 1):
+            # one dense [b, C_pad] slab + one pack matmul per 1024-cluster
+            # group (static loop; G=1 for <=1024 clusters) -> [nsub, G*64]
+            hit = slab(box)
+            parts = [
+                pack(hit[:, g * 1024 : min((g + 1) * 1024, c_pad)], g)
+                for g in range(groups)
+            ]
+            halves = parts[0] if groups == 1 else jnp.concatenate(
+                parts, axis=1
+            )
+            out_ref[0, pl.ds(r * nsub, nsub), :] = halves
+            return carry
+
+        # gated path: [b, 128] root pre-test, then per group skip or work
+        rhit = slab(root_ref[...]).astype(jnp.float32)  # [b, 128]
         for g in range(groups):
-            ah_g = any_hit[:, g * 1024 : min((g + 1) * 1024, any_hit.shape[1])]
-            w_g = pack_ref[g * 1024 : g * 1024 + ah_g.shape[1], :]
-            parts.append(jnp.dot(
-                ah_g, w_g, preferred_element_type=jnp.float32
-            ))
-        halves = parts[0] if groups == 1 else jnp.concatenate(parts, axis=1)
-        out_ref[0, pl.ds(r * nsub, nsub), :] = halves
+            g_live = jnp.max(rhit[:, g : g + 1]) > 0.0
+
+            @pl.when(g_live)
+            def _g_work(g=g):
+                hit_g = slab(box[:, g * 1024 : min((g + 1) * 1024, c_pad)])
+                out_ref[
+                    0, pl.ds(r * nsub, nsub), g * 64 : (g + 1) * 64
+                ] = pack(hit_g, g)
+
+            @pl.when(jnp.logical_not(g_live))
+            def _g_dead(g=g):
+                out_ref[
+                    0, pl.ds(r * nsub, nsub), g * 64 : (g + 1) * 64
+                ] = jnp.zeros((nsub, 64), jnp.float32)
+
         return carry
 
     @pl.when(step_alive)
@@ -1222,38 +1272,73 @@ def _pack_weights(c_pad: int, n_words: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tmin", "n_words", "interpret", "b", "sub")
+    jax.jit,
+    static_argnames=("tmin", "n_words", "interpret", "b", "sub", "gate"),
 )
 def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
-                        interpret: bool, b: int = B, sub: int = SUB):
+                        interpret: bool, b: int = B, sub: int = SUB,
+                        gate: bool = False):
     """soat: [n_steps, SB, 8] f32. Returns [n_blocks, n_words] i32 masks
-    (same contract as _block_masks)."""
+    (same contract as _block_masks). ``gate`` (multi-group scenes): skip
+    whole 1024-cluster group slabs per ray-block behind a group-root
+    pre-test — see _mask_kernel."""
     n_steps = soat.shape[0]
     nsub = (b // sub) if sub else 1
     rbm = (SB // b) * nsub
     box = jnp.asarray(cl_box)
     c_pad = box.shape[1]
     groups = max(1, -(-n_words // 32))
+    gate = bool(gate) and groups > 1
     wts = _pack_weights(c_pad, n_words)
+    ops = [soat, box, wts]
+    in_specs = [
+        pl.BlockSpec((1, SB, 8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, c_pad), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((groups * 1024, 64), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if gate:
+        # per-group root boxes: exact f32 min/max union of the group's
+        # REAL cluster boxes (lane pads are 1e30 point boxes — masked out
+        # of the max so they cannot inflate the root). Slab-rows layout
+        # [8, 128]: lanes >= groups padded with the same never-hit pads.
+        gpad = groups * 1024 - c_pad  # c_pad is a 128-multiple, not 1024
+        boxp = (
+            jnp.concatenate(
+                [box, jnp.full((8, gpad), 1e30, jnp.float32)], axis=1
+            )
+            if gpad
+            else box
+        )
+        real = boxp[0:1, :] < 1e29
+        g3 = boxp[:6].reshape(6, groups, 1024)
+        r3 = real.reshape(1, groups, 1024)
+        glo = jnp.min(jnp.where(r3, g3[:3], jnp.inf), axis=2)  # [3, G]
+        ghi = jnp.max(jnp.where(r3, g3[3:6], -jnp.inf), axis=2)
+        root = jnp.full((8, 128), 1e30, jnp.float32)
+        empty = jnp.logical_not(jnp.any(r3[0], axis=1))  # all-pad group
+        root = root.at[0:3, :groups].set(jnp.where(empty, 1e30, glo))
+        root = root.at[3:6, :groups].set(jnp.where(empty, 1e30, ghi))
+        ops.append(root)
+        in_specs.append(
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     halves = pl.pallas_call(
         functools.partial(
-            _mask_kernel, tmin=float(tmin), n_words=n_words, b=b, sub=sub
+            _mask_kernel, tmin=float(tmin), n_words=n_words, b=b, sub=sub,
+            gate=gate,
         ),
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, SB, 8), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, c_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((groups * 1024, 64), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rbm, groups * 64),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_struct((n_steps, rbm, groups * 64), jnp.float32),
         interpret=interpret,
-    )(soat, box, wts)
+    )(*ops)
     h4 = halves.reshape(n_steps, rbm, groups, 64)
     lo = h4[..., 0:32].astype(jnp.int32)
     hi = h4[..., 32:64].astype(jnp.int32)
@@ -1414,7 +1499,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              b: int | None = None, wide: int | None = None,
              sub: int | None = None, perm=None, ret_sorted: bool = False,
              prune_mode: str | None = None,
-             fuse_sort: bool | None = None):
+             fuse_sort: bool | None = None,
+             mask_gate: bool | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1444,6 +1530,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     wide = WIDE if wide is None else int(wide)
     sub = SUB if sub is None else int(sub)
     fuse_sort = FUSE_SORT if fuse_sort is None else bool(fuse_sort)
+    mask_gate = MASK_GATE if mask_gate is None else bool(mask_gate)
     validate_knobs(b, wide, sub)
     nsub = (b // sub) if sub else 1
     rbm = (SB // b) * nsub
@@ -1561,7 +1648,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         # ~40 ms/frame, 3.4x the whole Pallas mask bill.)
         masks = _block_masks_pallas(
             soat, tables.cl_box, float(tmin), n_words, bool(interpret),
-            b=b, sub=sub,
+            b=b, sub=sub, gate=mask_gate,
         )
     else:  # >4096 clusters: slab intermediates exceed VMEM — XLA path
         masks = _block_masks(

@@ -319,17 +319,69 @@ def test_mask_kernel_multi_group_matches_xla():
             [o, d, tmax[:, None], np.zeros((SB, 1), np.float32)], axis=1
         )
     ).reshape(1, SB, 8)
-    m_pallas = np.asarray(_block_masks_pallas(
-        soat, jnp.asarray(box), 1e-4, n_words, True
+    m_xla = np.asarray(_block_masks(
+        *(jnp.asarray(o[:, k]) for k in range(3)),
+        *(1.0 / jnp.asarray(d[:, k]) for k in range(3)),
+        1e-4, jnp.asarray(tmax), jnp.asarray(box), SB // 128,
+    ))
+    for gate in (False, True):
+        m_pallas = np.asarray(_block_masks_pallas(
+            soat, jnp.asarray(box), 1e-4, n_words, True, gate=gate
+        ))
+        assert m_pallas.shape == m_xla.shape == (SB // 128, n_words)
+        np.testing.assert_array_equal(m_pallas, m_xla)
+        assert m_pallas.any()  # the scene actually produces candidates
+
+
+def test_mask_gate_skips_disjoint_groups_exactly():
+    """Group-root gate on spatially-disjoint groups: rays aimed only at
+    group 0's region must produce bit-identical masks with the gate on
+    (group 1's slab is skipped and its words written as zeros) — and the
+    gate must also match when lane pads (1e30 point boxes) fill part of
+    group 1, exercising the root-union pad masking."""
+    from rayito_tpu.render.pallas_traverse import (
+        SB,
+        _block_masks,
+        _block_masks_pallas,
+    )
+
+    rs = np.random.default_rng(11)
+    c = 1152  # 2 pack groups: 1024 + 128 real lanes
+    n_words = -(-c // 32)
+    lo = rs.uniform(-10, 9, (3, c)).astype(np.float32)
+    lo[0, 1024:] += 500.0  # group 1 lives far away on +x
+    box = np.concatenate(
+        [lo, lo + rs.uniform(0.1, 2.0, (3, c)).astype(np.float32),
+         np.zeros((2, c), np.float32)], axis=0
+    )
+    # half the lanes of group 1's band are pads (never-hit point boxes)
+    box[0:6, 1088:] = 1e30
+    o = rs.uniform(-15, 15, (SB, 3)).astype(np.float32)
+    o[:, 0] -= 40.0  # west of group 0, far from group 1
+    tgt = np.stack([lo[k, rs.integers(0, 1024, SB)] for k in range(3)], 1)
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(SB, np.inf, np.float32)
+    soat = jnp.asarray(
+        np.concatenate(
+            [o, d, tmax[:, None], np.zeros((SB, 1), np.float32)], axis=1
+        )
+    ).reshape(1, SB, 8)
+    m_off = np.asarray(_block_masks_pallas(
+        soat, jnp.asarray(box), 1e-4, n_words, True, gate=False
+    ))
+    m_on = np.asarray(_block_masks_pallas(
+        soat, jnp.asarray(box), 1e-4, n_words, True, gate=True
     ))
     m_xla = np.asarray(_block_masks(
         *(jnp.asarray(o[:, k]) for k in range(3)),
         *(1.0 / jnp.asarray(d[:, k]) for k in range(3)),
         1e-4, jnp.asarray(tmax), jnp.asarray(box), SB // 128,
     ))
-    assert m_pallas.shape == m_xla.shape == (SB // 128, n_words)
-    np.testing.assert_array_equal(m_pallas, m_xla)
-    assert m_pallas.any()  # the scene actually produces candidates
+    np.testing.assert_array_equal(m_off, m_xla)
+    np.testing.assert_array_equal(m_on, m_xla)
+    assert m_on[:, :32].any()            # group 0 really has candidates
+    assert not m_on[:, 32:].any()        # group 1 fully skipped -> zeros
 
 
 def test_items_grid_bit_identical(monkeypatch):
