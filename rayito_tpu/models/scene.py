@@ -683,7 +683,12 @@ class Scene:
         sort_occl = os.environ.get("RAYITO_SORT_OCCL", "1") != "0"
         share_occl_sort = os.environ.get("RAYITO_SHARE_OCCL_SORT", "0") == "1"
         fuse_sort = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
-        mask_gate = os.environ.get("RAYITO_MASK_GATE", "1") != "0"
+        mask_gate = int(os.environ.get("RAYITO_MASK_GATE", "1024"))
+        if mask_gate not in (0, 128, 256, 512, 1024):
+            raise ValueError(
+                "RAYITO_MASK_GATE must be 0|128|256|512|1024, "
+                f"got {mask_gate}"
+            )
         traverse_prune = os.environ.get("RAYITO_TRAVERSE_PRUNE", "0").lower()
         if traverse_prune not in ("0", "1", "anyhit"):
             raise ValueError(
@@ -1153,13 +1158,14 @@ class SceneData:
     fuse_sort: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
-    # group-root mask gate: on multi-group domains (>1024 clusters) the
-    # mask kernel pre-tests each 1024-cluster group's root box per
-    # ray-block and skips structurally-all-zero group slabs. Bit-identical
-    # (cluster-in-root nesting). No effect on single-group scenes;
-    # resolved from RAYITO_MASK_GATE at compile.
-    mask_gate: bool = dataclasses.field(
-        metadata=dict(static=True), default=True
+    # unit-root mask gate: on multi-group domains (>1024 clusters) the
+    # mask kernel pre-tests each unit's root box per ray-block and skips
+    # structurally-all-zero unit slabs; live units accumulate exact pack
+    # partials. Value = unit width in clusters (128|256|512|1024), 0 =
+    # off. Bit-identical (cluster-in-root nesting). No effect on
+    # single-group scenes; resolved from RAYITO_MASK_GATE at compile.
+    mask_gate: int = dataclasses.field(
+        metadata=dict(static=True), default=1024
     )
 
     # -- static (trace-time) counts --

@@ -115,10 +115,15 @@ SUB = int(os.environ.get("RAYITO_TRAVERSE_SUB", "0"))
 # (0.24 ms/launch — random-perm microbenches overstate it 6x). Default
 # OFF; kept as a parity-tested option (test_fused_sort_bit_identical).
 FUSE_SORT = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
-# group-root mask gate (multi-group scenes only, i.e. >1024 clusters):
-# per ray-block, a [b, 128] pre-test against each 1024-cluster group's
-# root box skips structurally-all-zero group slabs (see _mask_kernel).
-MASK_GATE = os.environ.get("RAYITO_MASK_GATE", "1") != "0"
+# unit-root mask gate (multi-group scenes only, i.e. >1024 clusters):
+# per ray-block, a [b, 128] pre-test against each UNIT-cluster root box
+# skips structurally-all-zero unit slabs (see _mask_kernel). Value =
+# unit width in clusters (128|256|512|1024), 0 = off.
+MASK_GATE = int(os.environ.get("RAYITO_MASK_GATE", "1024"))
+if MASK_GATE not in (0, 128, 256, 512, 1024):
+    raise ValueError(
+        f"RAYITO_MASK_GATE must be 0|128|256|512|1024, got {MASK_GATE}"
+    )
 validate_knobs(B, WIDE, SUB)
 NSUB = (B // SUB) if SUB else 1
 # NOTE: B/WIDE/SUB above are module-level env DEFAULTS only. The compiled
@@ -1116,9 +1121,9 @@ def _mask_kernel(
     soat_ref,  # [1, SB, 8] f32 rays (same layout as the traversal kernel)
     box_ref,  # [8, C_pad] f32 cluster slab rows
     pack_ref,  # [G*1024, 64] f32 per-group bit-pack weights (lo | hi cols)
-    *rest,  # [gate] ([8, 128] group-root slab rows, iff gate) + out_ref
+    *rest,  # [gate] ([8, 128] unit-root slab rows, iff gate) + out_ref
     tmin: float, n_words: int, b: int = B, sub: int = SUB,
-    gate: bool = False,
+    gate: int = 0,
 ):
     """Per-ray-block cluster masks, VMEM-resident. The XLA version of this
     computation fused perfectly in isolation (1.74 ms/131k rays) but inside
@@ -1139,14 +1144,17 @@ def _mask_kernel(
     stage-6 occupancy a third or more of (launch, step) pairs are fully
     dead.
 
-    Group-root gate (``gate``, multi-group scenes only): the caller
-    supplies each 1024-cluster group's root box (union of its cluster
-    boxes) as slab rows; per ray-block one [b, 128] pre-test decides per
-    group whether ANY ray can hit it — cluster-in-root nesting makes
-    slab-hit(cluster) imply slab-hit(root), so a missed root means the
-    group's [b, 1024] slab + pack is structurally all-zero and is skipped
-    (pl.when). BVH-DFS cluster order makes groups spatially contiguous,
-    so coherently-sorted blocks usually land in one group."""
+    Unit-root gate (``gate`` = unit width in clusters, multi-group scenes
+    only): the caller supplies each ``gate``-cluster unit's root box
+    (union of its cluster boxes) as slab rows; per ray-block one [b, 128]
+    pre-test decides per unit whether ANY ray can hit it —
+    cluster-in-root nesting makes slab-hit(cluster) imply slab-hit(root),
+    so a missed root means the unit's [b, gate] slab + pack partial is
+    structurally all-zero and is skipped (pl.when); live units ACCUMULATE
+    their pack partials into the group's 64 packed halves (disjoint
+    powers of two, sums < 2^16 — exact in f32). BVH-DFS cluster order
+    makes units spatially contiguous, so coherently-sorted blocks
+    usually touch few of them."""
     del n_words
     if gate:
         root_ref, out_ref = rest
@@ -1191,8 +1199,9 @@ def _mask_kernel(
                 far >= tmin
             )
 
-        def pack(hit, g):
-            """[b, width] group slab result -> [nsub, 64] packed halves."""
+        def pack(hit, row0):
+            """[b, width] slab result for clusters [row0, row0+width) ->
+            [nsub, 64] packed halves (partial iff width < the group)."""
             hf = hit.astype(jnp.float32)
             if nsub == 1:
                 any_hit = jnp.max(hf, axis=0, keepdims=True)
@@ -1207,7 +1216,7 @@ def _mask_kernel(
                     ],
                     axis=0,
                 )  # [nsub, width]
-            w_g = pack_ref[g * 1024 : g * 1024 + any_hit.shape[1], :]
+            w_g = pack_ref[row0 : row0 + any_hit.shape[1], :]
             return jnp.dot(any_hit, w_g, preferred_element_type=jnp.float32)
 
         if not (gate and groups > 1):
@@ -1215,7 +1224,7 @@ def _mask_kernel(
             # group (static loop; G=1 for <=1024 clusters) -> [nsub, G*64]
             hit = slab(box)
             parts = [
-                pack(hit[:, g * 1024 : min((g + 1) * 1024, c_pad)], g)
+                pack(hit[:, g * 1024 : min((g + 1) * 1024, c_pad)], g * 1024)
                 for g in range(groups)
             ]
             halves = parts[0] if groups == 1 else jnp.concatenate(
@@ -1224,23 +1233,29 @@ def _mask_kernel(
             out_ref[0, pl.ds(r * nsub, nsub), :] = halves
             return carry
 
-        # gated path: [b, 128] root pre-test, then per group skip or work
+        # gated path: one [b, 128] unit-root pre-test, zero the row, then
+        # each live unit accumulates its pack partial into its group's
+        # 64-column word block
         rhit = slab(root_ref[...]).astype(jnp.float32)  # [b, 128]
-        for g in range(groups):
-            g_live = jnp.max(rhit[:, g : g + 1]) > 0.0
+        out_ref[0, pl.ds(r * nsub, nsub), :] = jnp.zeros(
+            (nsub, groups * 64), jnp.float32
+        )
+        n_units = -(-c_pad // gate)
+        for u in range(n_units):
+            c0 = u * gate
+            width = min(gate, c_pad - c0)
+            g = c0 // 1024
+            u_live = jnp.max(rhit[:, u : u + 1]) > 0.0
 
-            @pl.when(g_live)
-            def _g_work(g=g):
-                hit_g = slab(box[:, g * 1024 : min((g + 1) * 1024, c_pad)])
+            @pl.when(u_live)
+            def _u_work(c0=c0, width=width, g=g):
+                part = pack(slab(box[:, c0 : c0 + width]), c0)
+                cur = out_ref[
+                    0, pl.ds(r * nsub, nsub), g * 64 : (g + 1) * 64
+                ]
                 out_ref[
                     0, pl.ds(r * nsub, nsub), g * 64 : (g + 1) * 64
-                ] = pack(hit_g, g)
-
-            @pl.when(jnp.logical_not(g_live))
-            def _g_dead(g=g):
-                out_ref[
-                    0, pl.ds(r * nsub, nsub), g * 64 : (g + 1) * 64
-                ] = jnp.zeros((nsub, 64), jnp.float32)
+                ] = cur + part
 
         return carry
 
@@ -1277,18 +1292,23 @@ def _pack_weights(c_pad: int, n_words: int):
 )
 def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
                         interpret: bool, b: int = B, sub: int = SUB,
-                        gate: bool = False):
+                        gate: int = 0):
     """soat: [n_steps, SB, 8] f32. Returns [n_blocks, n_words] i32 masks
-    (same contract as _block_masks). ``gate`` (multi-group scenes): skip
-    whole 1024-cluster group slabs per ray-block behind a group-root
-    pre-test — see _mask_kernel."""
+    (same contract as _block_masks). ``gate`` (unit width in clusters; 0
+    off; multi-group scenes only): skip ``gate``-cluster unit slabs per
+    ray-block behind a unit-root pre-test — see _mask_kernel."""
     n_steps = soat.shape[0]
     nsub = (b // sub) if sub else 1
     rbm = (SB // b) * nsub
     box = jnp.asarray(cl_box)
     c_pad = box.shape[1]
     groups = max(1, -(-n_words // 32))
-    gate = bool(gate) and groups > 1
+    gate = int(gate) if groups > 1 else 0
+    if gate and (gate not in (128, 256, 512, 1024) or -(-c_pad // gate) > 128):
+        raise ValueError(
+            f"mask gate unit must be 128|256|512|1024 with <=128 units, "
+            f"got {gate} for c_pad={c_pad}"
+        )
     wts = _pack_weights(c_pad, n_words)
     ops = [soat, box, wts]
     in_specs = [
@@ -1300,27 +1320,28 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
                      memory_space=pltpu.VMEM),
     ]
     if gate:
-        # per-group root boxes: exact f32 min/max union of the group's
+        # per-unit root boxes: exact f32 min/max union of the unit's
         # REAL cluster boxes (lane pads are 1e30 point boxes — masked out
         # of the max so they cannot inflate the root). Slab-rows layout
-        # [8, 128]: lanes >= groups padded with the same never-hit pads.
-        gpad = groups * 1024 - c_pad  # c_pad is a 128-multiple, not 1024
+        # [8, 128]: lanes >= n_units padded with the same never-hit pads.
+        n_units = -(-c_pad // gate)
+        upad = n_units * gate - c_pad  # c_pad is a 128-multiple
         boxp = (
             jnp.concatenate(
-                [box, jnp.full((8, gpad), 1e30, jnp.float32)], axis=1
+                [box, jnp.full((8, upad), 1e30, jnp.float32)], axis=1
             )
-            if gpad
+            if upad
             else box
         )
         real = boxp[0:1, :] < 1e29
-        g3 = boxp[:6].reshape(6, groups, 1024)
-        r3 = real.reshape(1, groups, 1024)
-        glo = jnp.min(jnp.where(r3, g3[:3], jnp.inf), axis=2)  # [3, G]
+        g3 = boxp[:6].reshape(6, n_units, gate)
+        r3 = real.reshape(1, n_units, gate)
+        glo = jnp.min(jnp.where(r3, g3[:3], jnp.inf), axis=2)  # [3, U]
         ghi = jnp.max(jnp.where(r3, g3[3:6], -jnp.inf), axis=2)
         root = jnp.full((8, 128), 1e30, jnp.float32)
-        empty = jnp.logical_not(jnp.any(r3[0], axis=1))  # all-pad group
-        root = root.at[0:3, :groups].set(jnp.where(empty, 1e30, glo))
-        root = root.at[3:6, :groups].set(jnp.where(empty, 1e30, ghi))
+        empty = jnp.logical_not(jnp.any(r3[0], axis=1))  # all-pad unit
+        root = root.at[0:3, :n_units].set(jnp.where(empty, 1e30, glo))
+        root = root.at[3:6, :n_units].set(jnp.where(empty, 1e30, ghi))
         ops.append(root)
         in_specs.append(
             pl.BlockSpec((8, 128), lambda i: (0, 0),
@@ -1500,7 +1521,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              sub: int | None = None, perm=None, ret_sorted: bool = False,
              prune_mode: str | None = None,
              fuse_sort: bool | None = None,
-             mask_gate: bool | None = None):
+             mask_gate: int | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1530,7 +1551,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     wide = WIDE if wide is None else int(wide)
     sub = SUB if sub is None else int(sub)
     fuse_sort = FUSE_SORT if fuse_sort is None else bool(fuse_sort)
-    mask_gate = MASK_GATE if mask_gate is None else bool(mask_gate)
+    mask_gate = MASK_GATE if mask_gate is None else int(mask_gate)
     validate_knobs(b, wide, sub)
     nsub = (b // sub) if sub else 1
     rbm = (SB // b) * nsub

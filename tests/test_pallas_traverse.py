@@ -324,7 +324,7 @@ def test_mask_kernel_multi_group_matches_xla():
         *(1.0 / jnp.asarray(d[:, k]) for k in range(3)),
         1e-4, jnp.asarray(tmax), jnp.asarray(box), SB // 128,
     ))
-    for gate in (False, True):
+    for gate in (0, 1024, 256, 128):
         m_pallas = np.asarray(_block_masks_pallas(
             soat, jnp.asarray(box), 1e-4, n_words, True, gate=gate
         ))
@@ -368,10 +368,7 @@ def test_mask_gate_skips_disjoint_groups_exactly():
         )
     ).reshape(1, SB, 8)
     m_off = np.asarray(_block_masks_pallas(
-        soat, jnp.asarray(box), 1e-4, n_words, True, gate=False
-    ))
-    m_on = np.asarray(_block_masks_pallas(
-        soat, jnp.asarray(box), 1e-4, n_words, True, gate=True
+        soat, jnp.asarray(box), 1e-4, n_words, True, gate=0
     ))
     m_xla = np.asarray(_block_masks(
         *(jnp.asarray(o[:, k]) for k in range(3)),
@@ -379,9 +376,13 @@ def test_mask_gate_skips_disjoint_groups_exactly():
         1e-4, jnp.asarray(tmax), jnp.asarray(box), SB // 128,
     ))
     np.testing.assert_array_equal(m_off, m_xla)
-    np.testing.assert_array_equal(m_on, m_xla)
-    assert m_on[:, :32].any()            # group 0 really has candidates
-    assert not m_on[:, 32:].any()        # group 1 fully skipped -> zeros
+    for unit in (1024, 512, 256):
+        m_on = np.asarray(_block_masks_pallas(
+            soat, jnp.asarray(box), 1e-4, n_words, True, gate=unit
+        ))
+        np.testing.assert_array_equal(m_on, m_xla)
+        assert m_on[:, :32].any()        # group 0 really has candidates
+        assert not m_on[:, 32:].any()    # group 1 fully skipped -> zeros
 
 
 def test_items_grid_bit_identical(monkeypatch):
