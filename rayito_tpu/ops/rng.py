@@ -115,11 +115,14 @@ def cmj_permute(i: jnp.ndarray, num, permutation: jnp.ndarray) -> jnp.ndarray:
 
     # Power-of-two num: round_fn ends with `x &= w` (w = num-1, all ones)
     # followed by `x ^= x >> 5`, which cannot leave [0, w] — the cycle-walk
-    # condition is false on every lane, so the while_loop below would never
-    # iterate. Skipping it is bit-identical and matters structurally: each
-    # while_loop is a fusion boundary plus a [N]-wide any() reduce per call,
-    # and the integrator issues ~11 permutes per bounce (pathtracer.py).
-    # ``num`` is static, so this resolves at trace time.
+    # condition is false on every lane, so the while_loop below never
+    # iterates and skipping it is bit-identical. But the loop was ALSO a
+    # fusion boundary: dropping it outright let XLA inline+duplicate the
+    # ~30-op hash chain into every consumer and cost 10% of the stage-6
+    # frame (13.6 -> 12.3 Mrays/s, bisected on hardware). Keep the result
+    # materialized behind an optimization_barrier instead — boundary
+    # without the loop's [N]-wide any() reduce. ``num`` is static, so the
+    # branch resolves at trace time.
     if num & (num - 1):
 
         def cond(x):
@@ -129,6 +132,8 @@ def cmj_permute(i: jnp.ndarray, num, permutation: jnp.ndarray) -> jnp.ndarray:
             return jnp.where(x >= num_u, round_fn(x), x)
 
         i = jax.lax.while_loop(cond, body, i)
+    else:
+        i = jax.lax.optimization_barrier(i)
     return (i + permutation) % num_u
 
 
