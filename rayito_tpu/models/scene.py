@@ -1162,8 +1162,9 @@ class SceneData:
     # mask kernel pre-tests each unit's root box per ray-block and skips
     # structurally-all-zero unit slabs; live units accumulate exact pack
     # partials. Value = unit width in clusters (128|256|512|1024), 0 =
-    # off. Bit-identical (cluster-in-root nesting). No effect on
-    # single-group scenes; resolved from RAYITO_MASK_GATE at compile.
+    # off. Bit-identical (cluster-in-root nesting). Needs >=2 units
+    # (c_pad > gate), so the default 1024 is a no-op below 1025
+    # clusters; resolved from RAYITO_MASK_GATE at compile.
     mask_gate: int = dataclasses.field(
         metadata=dict(static=True), default=1024
     )

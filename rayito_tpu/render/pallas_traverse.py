@@ -115,10 +115,11 @@ SUB = int(os.environ.get("RAYITO_TRAVERSE_SUB", "0"))
 # (0.24 ms/launch — random-perm microbenches overstate it 6x). Default
 # OFF; kept as a parity-tested option (test_fused_sort_bit_identical).
 FUSE_SORT = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
-# unit-root mask gate (multi-group scenes only, i.e. >1024 clusters):
-# per ray-block, a [b, 128] pre-test against each UNIT-cluster root box
+# unit-root mask gate (scenes whose c_pad spans >=2 units): per
+# ray-block, a [b, 128] pre-test against each UNIT-cluster root box
 # skips structurally-all-zero unit slabs (see _mask_kernel). Value =
-# unit width in clusters (128|256|512|1024), 0 = off.
+# unit width in clusters (128|256|512|1024), 0 = off. At the default
+# 1024 this is a no-op below 1025 clusters (single unit).
 MASK_GATE = int(os.environ.get("RAYITO_MASK_GATE", "1024"))
 if MASK_GATE not in (0, 128, 256, 512, 1024):
     raise ValueError(
@@ -1144,8 +1145,8 @@ def _mask_kernel(
     stage-6 occupancy a third or more of (launch, step) pairs are fully
     dead.
 
-    Unit-root gate (``gate`` = unit width in clusters, multi-group scenes
-    only): the caller supplies each ``gate``-cluster unit's root box
+    Unit-root gate (``gate`` = unit width in clusters; active whenever
+    c_pad spans >=2 units): the caller supplies each unit's root box
     (union of its cluster boxes) as slab rows; per ray-block one [b, 128]
     pre-test decides per unit whether ANY ray can hit it —
     cluster-in-root nesting makes slab-hit(cluster) imply slab-hit(root),
@@ -1219,7 +1220,7 @@ def _mask_kernel(
             w_g = pack_ref[row0 : row0 + any_hit.shape[1], :]
             return jnp.dot(any_hit, w_g, preferred_element_type=jnp.float32)
 
-        if not (gate and groups > 1):
+        if not gate:  # policy (>=2 units) resolved by the wrapper
             # one dense [b, C_pad] slab + one pack matmul per 1024-cluster
             # group (static loop; G=1 for <=1024 clusters) -> [nsub, G*64]
             hit = slab(box)
@@ -1295,7 +1296,7 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
                         gate: int = 0):
     """soat: [n_steps, SB, 8] f32. Returns [n_blocks, n_words] i32 masks
     (same contract as _block_masks). ``gate`` (unit width in clusters; 0
-    off; multi-group scenes only): skip ``gate``-cluster unit slabs per
+    off; needs >=2 units i.e. c_pad > gate): skip ``gate``-cluster unit slabs per
     ray-block behind a unit-root pre-test — see _mask_kernel."""
     n_steps = soat.shape[0]
     nsub = (b // sub) if sub else 1
@@ -1303,7 +1304,9 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
     box = jnp.asarray(cl_box)
     c_pad = box.shape[1]
     groups = max(1, -(-n_words // 32))
-    gate = int(gate) if groups > 1 else 0
+    gate = int(gate)
+    if gate and -(-c_pad // gate) < 2:
+        gate = 0  # single unit: the root IS the whole domain, nothing to skip
     if gate and (gate not in (128, 256, 512, 1024) or -(-c_pad // gate) > 128):
         raise ValueError(
             f"mask gate unit must be 128|256|512|1024 with <=128 units, "

@@ -385,6 +385,56 @@ def test_mask_gate_skips_disjoint_groups_exactly():
         assert not m_on[:, 32:].any()    # group 1 fully skipped -> zeros
 
 
+def test_mask_gate_single_group_sub_units():
+    """Sub-group unit gate on a SINGLE-pack-group scene (stage-6 regime:
+    392 real clusters -> c_pad 512 < 1024). Units 128/256 must be
+    bit-identical to the ungated kernel, including when rays only reach
+    the first unit's region (later unit slabs skipped, partials absent
+    from the accumulated halves). gate=1024 has one unit here and must
+    resolve to the identical ungated kernel."""
+    from rayito_tpu.render.pallas_traverse import (
+        SB,
+        _block_masks,
+        _block_masks_pallas,
+    )
+
+    rs = np.random.default_rng(13)
+    c = 512  # one pack group, lane-padded 128-multiple
+    n_real = 392
+    n_words = -(-c // 32)
+    lo = rs.uniform(-10, 9, (3, c)).astype(np.float32)
+    # units 1-3 far north (+y), off the rays' west->east travel axis
+    lo[1, 128:] += 300.0 + 50.0 * (np.arange(c - 128) // 128)
+    box = np.concatenate(
+        [lo, lo + rs.uniform(0.1, 2.0, (3, c)).astype(np.float32),
+         np.zeros((2, c), np.float32)], axis=0
+    )
+    box[0:6, n_real:] = 1e30  # lane pads inside unit 3
+    o = rs.uniform(-15, 15, (SB, 3)).astype(np.float32)
+    o[:, 0] -= 40.0
+    tgt = np.stack([lo[k, rs.integers(0, 128, SB)] for k in range(3)], 1)
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(SB, np.inf, np.float32)
+    soat = jnp.asarray(
+        np.concatenate(
+            [o, d, tmax[:, None], np.zeros((SB, 1), np.float32)], axis=1
+        )
+    ).reshape(1, SB, 8)
+    m_xla = np.asarray(_block_masks(
+        *(jnp.asarray(o[:, k]) for k in range(3)),
+        *(1.0 / jnp.asarray(d[:, k]) for k in range(3)),
+        1e-4, jnp.asarray(tmax), jnp.asarray(box), SB // 128,
+    ))
+    for unit in (0, 1024, 256, 128):
+        m = np.asarray(_block_masks_pallas(
+            soat, jnp.asarray(box), 1e-4, n_words, True, gate=unit
+        ))
+        np.testing.assert_array_equal(m, m_xla)
+    assert m_xla[:, :4].any()      # unit 0 really has candidates
+    assert not m_xla[:, 4:].any()  # units 1-3 skippable -> zeros
+
+
 def test_items_grid_bit_identical(monkeypatch):
     """The experimental item-grid traversal (worklist-as-grid with
     scalar-prefetch index maps, RAYITO_TRAVERSE_ITEMS) must produce
