@@ -312,6 +312,31 @@ def _split_static_segs(segs, g: int):
     return groups
 
 
+def resolve_tri_chunk(c_max: int, traverse_mt: str) -> int:
+    """Auto tri_chunk policy (RAYITO_TRI_CHUNK unset): prefer a fully
+    VMEM-RESIDENT triangle table, else stream at the largest measured-safe
+    chunk. Measured on the 245k-tri big scene (v5e, interleaved pairs,
+    BENCH_NOTES round 4): every halving of the chunk count pays per-
+    (step, chunk) fixed costs — 480 (4 chunks) 5.88, 640 (3) 6.30,
+    960 (2) 6.55-6.80, 1920 (resident) 7.17 Mrays/s, bit-identical.
+
+    * ``c_max`` = the largest per-domain cluster count (launches traverse
+      one domain at a time, so per-launch VMEM is per-domain).
+    * Resident cap 1920 clusters = 15 MiB at KTRI lanes — measured to fit
+      the 16 MiB scoped-VMEM limit alongside the kernel's other blocks
+      (chunked tables also double-buffer their DMA; resident ones don't).
+    * Streaming fallback 960 = 7.5 MiB double-buffered (measured safe).
+    * 'mxu' keeps the historical 480: its 4x-lane weight table streams at
+      eff_chunk = tri_chunk/4 (constant bytes), but the mode is a measured
+      end-to-end loss kept only as an option — not re-tuned here.
+    """
+    if traverse_mt == "mxu":
+        return 480
+    if c_max <= 1920:
+        return max(480, -(-c_max // 32) * 32)
+    return 960
+
+
 class Scene:
     """The ShapeSet equivalent: collects shapes, compiles to SceneData."""
 
@@ -680,6 +705,10 @@ class Scene:
         from ..render import pallas_traverse as _pt
 
         traverse_b, traverse_wide, traverse_sub = _pt.B, _pt.WIDE, _pt.SUB
+        # tri_chunk: explicit env pins it; otherwise resolved per scene
+        # below once the kernel tables (and so the cluster counts) exist
+        tri_chunk_env = os.environ.get("RAYITO_TRI_CHUNK")
+        tri_chunk = int(tri_chunk_env) if tri_chunk_env else None
         sort_occl = os.environ.get("RAYITO_SORT_OCCL", "1") != "0"
         share_occl_sort = os.environ.get("RAYITO_SHARE_OCCL_SORT", "0") == "1"
         fuse_sort = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
@@ -713,6 +742,11 @@ class Scene:
                 from ..accel.kernel_tables import build_bw_rows
 
                 ktab_mxu.append(jnp.asarray(build_bw_rows(kt.tri)))
+        if tri_chunk is None:
+            tri_chunk = resolve_tri_chunk(
+                max((int(t.shape[0]) for t in ktab_tri), default=0),
+                traverse_mt,
+            )
         if traversal is None:
             from ..render.pallas_traverse import traversal_impl
 
@@ -966,6 +1000,7 @@ class Scene:
             traverse_b=traverse_b,
             traverse_wide=traverse_wide,
             traverse_sub=traverse_sub,
+            tri_chunk=tri_chunk,
             sort_occl=sort_occl,
             share_occl_sort=share_occl_sort,
             traverse_prune=traverse_prune,
@@ -1130,6 +1165,11 @@ class SceneData:
     traverse_b: int = dataclasses.field(metadata=dict(static=True), default=128)
     traverse_wide: int = dataclasses.field(metadata=dict(static=True), default=4)
     traverse_sub: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # streamed-chunk size in clusters for the traversal kernel's triangle
+    # table (tables at or below this stay VMEM-resident; larger ones arrive
+    # as pipelined per-chunk VMEM blocks). Resolved from RAYITO_TRI_CHUNK
+    # at compile like the block knobs above.
+    tri_chunk: int = dataclasses.field(metadata=dict(static=True), default=480)
     # sort occlusion launches by the coherence key (measured win on
     # stage-6 — BENCH_NOTES.md); resolved from RAYITO_SORT_OCCL at compile
     sort_occl: bool = dataclasses.field(metadata=dict(static=True), default=True)

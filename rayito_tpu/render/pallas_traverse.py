@@ -930,19 +930,22 @@ TRI_CHUNK = int(os.environ.get("RAYITO_TRI_CHUNK", "480"))
 if TRI_CHUNK <= 0 or TRI_CHUNK % 32:
     raise ValueError(f"RAYITO_TRI_CHUNK={TRI_CHUNK!r}: must be a positive "
                      "multiple of 32 (mask words are 32 clusters each)")
+# Like B/WIDE/SUB above, TRI_CHUNK is the module-level env DEFAULT only:
+# Scene.compile resolves it once into SceneData.tri_chunk and trace.py
+# passes the scene's value to every traverse() launch.
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "tmin", "interpret", "mt_mode", "prune", "any_hit", "b", "wide",
-        "sub",
+        "sub", "tri_chunk",
     ),
 )
 def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
                      mt_mode: str = "vpu", prune: bool = True,
                      any_hit: bool = False, b: int = B, wide: int = WIDE,
-                     sub: int = SUB):
+                     sub: int = SUB, tri_chunk: int = TRI_CHUNK):
     """masks: [n_blocks, n_words] i32; soat: [n_steps, SB, 8] f32;
     tri: [C, 16, KTRI] triangles ('vpu') or [C, 16, 4*KTRI] MXU weight
     blocks ('mxu'); box: [8, C_pad] cluster slab rows (prune operand).
@@ -962,7 +965,12 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
     lanes = tri.shape[2]
     # wider tables (mxu weights are 4x KTRI lanes) stream in proportionally
     # smaller chunks so the per-chunk VMEM footprint stays constant
-    eff_chunk = max(32, (TRI_CHUNK * KTRI // lanes) // 32 * 32)
+    if tri_chunk <= 0 or tri_chunk % 32:
+        raise ValueError(
+            f"tri_chunk={tri_chunk!r}: must be a positive multiple of 32 "
+            "(mask words are 32 clusters each)"
+        )
+    eff_chunk = max(32, (tri_chunk * KTRI // lanes) // 32 * 32)
     nsub = (b // sub) if sub else 1
     rbm = (SB // b) * nsub  # mask rows per grid step (nsub sub-rows/block)
     if c <= eff_chunk:
@@ -1524,7 +1532,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              sub: int | None = None, perm=None, ret_sorted: bool = False,
              prune_mode: str | None = None,
              fuse_sort: bool | None = None,
-             mask_gate: int | None = None):
+             mask_gate: int | None = None,
+             tri_chunk: int | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1555,6 +1564,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     sub = SUB if sub is None else int(sub)
     fuse_sort = FUSE_SORT if fuse_sort is None else bool(fuse_sort)
     mask_gate = MASK_GATE if mask_gate is None else int(mask_gate)
+    tri_chunk = TRI_CHUNK if tri_chunk is None else int(tri_chunk)
     validate_knobs(b, wide, sub)
     nsub = (b // sub) if sub else 1
     rbm = (SB // b) * nsub
@@ -1698,7 +1708,7 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
             masks, soat, tables.tri, jnp.asarray(tables.cl_box),
             tmin=float(tmin), interpret=bool(interpret), mt_mode=mt_mode,
             prune=_prune_for(any_hit, prune_mode), any_hit=any_hit, b=b, wide=wide,
-            sub=sub,
+            sub=sub, tri_chunk=tri_chunk,
         )
 
     if use_items:

@@ -518,7 +518,7 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
             tmin, want_t=False, mt_mode=mt, b=scene.traverse_b,
             wide=scene.traverse_wide, sub=scene.traverse_sub,
             prune_mode=scene.traverse_prune, fuse_sort=scene.fuse_sort,
-            mask_gate=scene.mask_gate,
+            mask_gate=scene.mask_gate, tri_chunk=scene.tri_chunk,
         )
         # winner re-test per domain: exact t + barycentrics + shading meta
         # from ONE fused 32-col row gather (the kernel's packed key carries
@@ -788,6 +788,7 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 b=scene.traverse_b, wide=scene.traverse_wide,
                 sub=scene.traverse_sub, prune_mode=scene.traverse_prune,
                 fuse_sort=scene.fuse_sort, mask_gate=scene.mask_gate,
+                tri_chunk=scene.tri_chunk,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
                 # mxu/bw paths' approximate winners need the re-test below)
@@ -892,7 +893,7 @@ def scene_occluded_pair(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
                 b=scene.traverse_b, wide=scene.traverse_wide,
                 sub=scene.traverse_sub, perm=perm, ret_sorted=True,
                 prune_mode=scene.traverse_prune,
-                mask_gate=scene.mask_gate,
+                mask_gate=scene.mask_gate, tri_chunk=scene.tri_chunk,
             )
             hit_s |= p_s >= 0
         hits_sorted.append(hit_s)

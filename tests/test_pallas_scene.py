@@ -205,15 +205,15 @@ def test_static_split_parity():
     np.testing.assert_array_equal(np.asarray(occ2), np.asarray(occ1))
 
 
-def test_streamed_tri_table_parity(monkeypatch):
-    """Tables beyond TRI_CHUNK clusters stream through VMEM in chunks
-    (VERDICT r2 item 4 — no ktab_fits size cap anymore). Forcing a tiny
-    chunk size must leave scene intersections BIT-identical to the
-    resident-table path, through the public scene API."""
-    import rayito_tpu.render.pallas_traverse as pt
-
+def test_streamed_tri_table_parity():
+    """Tables beyond SceneData.tri_chunk clusters stream through VMEM in
+    chunks (VERDICT r2 item 4 — no ktab_fits size cap anymore). Forcing a
+    tiny chunk size must leave scene intersections BIT-identical to the
+    resident-table path, through the public scene API. tri_chunk is a
+    compile-time SceneData field (module env default RAYITO_TRI_CHUNK),
+    so the variant is built with dataclasses.replace."""
     # 51x51x2 = 5202 triangles -> 41 kernel clusters: 2 chunks at
-    # TRI_CHUNK=32 (the smallest legal chunk)
+    # tri_chunk=32 (the smallest legal chunk)
     g = 52
     gx, gz = np.meshgrid(np.linspace(-3, 3, g), np.linspace(-3, 3, g),
                          indexing="ij")
@@ -238,15 +238,15 @@ def test_streamed_tri_table_parity(monkeypatch):
     time = jnp.zeros((n,), jnp.float32)
     tmax = jnp.full((n,), 1e30, jnp.float32)
 
-    def run():
-        jax.clear_caches()  # TRI_CHUNK is read at trace time
-        h = scene_intersect(scene, o, d, time, 1e-4, tmax)
+    def run(sc):
+        h = scene_intersect(sc, o, d, time, 1e-4, tmax)
         return (np.asarray(h.t), np.asarray(h.valid), np.asarray(h.shape_id))
 
-    monkeypatch.setattr(pt, "TRI_CHUNK", 512)
-    t_res, v_res, s_res = run()
-    monkeypatch.setattr(pt, "TRI_CHUNK", 32)  # smallest legal chunk
-    t_str, v_str, s_str = run()
+    import dataclasses
+
+    t_res, v_res, s_res = run(dataclasses.replace(scene, tri_chunk=512))
+    # smallest legal chunk -> 2 streamed chunks for the 41-cluster table
+    t_str, v_str, s_str = run(dataclasses.replace(scene, tri_chunk=32))
     assert v_res.sum() > n // 4
     np.testing.assert_array_equal(v_str, v_res)
     np.testing.assert_array_equal(s_str, s_res)
@@ -352,6 +352,7 @@ def test_traverse_knobs_thread_through_scene():
         {"traverse_b": 256},
         {"traverse_wide": 1},
         {"traverse_sub": 32},
+        {"tri_chunk": 32},
     ):
         var = dataclasses.replace(scene, **kw)
         got = scene_intersect(var, o, d, t, 1e-4, tmax)
@@ -359,6 +360,29 @@ def test_traverse_knobs_thread_through_scene():
             jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(base)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tri_chunk_auto_policy(monkeypatch):
+    """tri_chunk resolution (BENCH_NOTES round 4: every extra streamed
+    chunk pays per-(step, chunk) fixed costs — 480/640/960/1920 measured
+    5.88/6.30/6.55/7.17 Mrays/s on the 245k-tri scene): auto prefers a
+    fully VMEM-resident table (<=1920 clusters = 15 MiB), streams at 960
+    beyond it, keeps the mxu option at its historical 480; an explicit
+    RAYITO_TRI_CHUNK env pins the value at compile."""
+    from rayito_tpu.models.scene import resolve_tri_chunk
+
+    assert resolve_tri_chunk(0, "vpu") == 480  # no meshes: inert default
+    assert resolve_tri_chunk(392, "bw_closest") == 480  # stage-6: floor
+    assert resolve_tri_chunk(500, "vpu") == 512  # ceil to 32, resident
+    assert resolve_tri_chunk(1920, "bw_closest") == 1920  # big: resident
+    assert resolve_tri_chunk(1921, "vpu") == 960  # beyond cap: stream
+    assert resolve_tri_chunk(1920, "mxu") == 480  # mxu untuned
+
+    monkeypatch.delenv("RAYITO_TRI_CHUNK", raising=False)
+    scene = _static_two_mesh_scene(traversal="pallas")
+    assert scene.tri_chunk == 480
+    monkeypatch.setenv("RAYITO_TRI_CHUNK", "64")
+    assert _static_two_mesh_scene(traversal="pallas").tri_chunk == 64
 
 
 @pytest.mark.slow

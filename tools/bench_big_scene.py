@@ -21,7 +21,6 @@ import jax.numpy as jnp  # noqa: E402
 from rayito_tpu.models.camera import PerspectiveCamera  # noqa: E402
 from rayito_tpu.models.demo import STAGE6_CAMERA  # noqa: E402
 from rayito_tpu.render.pathtracer import _render_path_pass  # noqa: E402
-from rayito_tpu.render.pallas_traverse import TRI_CHUNK  # noqa: E402
 from rayito_tpu.utils.config import RenderConfig  # noqa: E402
 
 
@@ -31,7 +30,7 @@ def main():
     scene = big_streamed_scene().compile()
     n_cl = scene.ktab_tri[0].shape[0]
     print(f"tris={scene.n_tris} clusters={n_cl} domains={len(scene.ktab_xf)} "
-          f"traversal={scene.traversal} (streamed: {n_cl} > TRI_CHUNK={TRI_CHUNK})",
+          f"traversal={scene.traversal} (streamed: {n_cl} > tri_chunk={scene.tri_chunk})",
           file=sys.stderr)
     assert scene.n_tris > 200_000 and scene.traversal in ("pallas", "xla")
 
