@@ -54,7 +54,19 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accel.kernel_tables import KTRI
 from ..utils.vma import out_struct
 
-SB = 2048  # rays per grid step
+# rays per grid step (the traversal kernel's grid granularity): larger
+# steps amortize per-step fixed costs (soat/mask DMA setup, output
+# emission, grid machinery) over more rays, but coarsen the whole-step
+# dead-lane skip (a step is skipped only when ALL its rays are dead) and
+# grow the per-step output VMEM blocks ([SB, 1] pads minor to 128 lanes
+# = SB*512 B each). Swept on v5e stage-6 (interleaved cross-process
+# pairs, see BENCH_NOTES round 4); env knob kept for hardware sweeps.
+SB = int(os.environ.get("RAYITO_TRAVERSE_SB", "2048"))
+if SB <= 0 or SB % 256 or (SB & (SB - 1)):
+    raise ValueError(
+        f"RAYITO_TRAVERSE_SB={SB!r}: must be a power of two >= 256 "
+        "(a multiple of every legal ray-block size b)"
+    )
 # rays per ray-block (mask granularity: one cluster MT block serves the
 # UNION of its B rays' slab-hit clusters — smaller B = tighter unions but
 # more scalar-core scans; env-tunable for hardware sweeps). Measured on
