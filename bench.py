@@ -38,9 +38,13 @@ from rayito_tpu.utils.config import RenderConfig
 TARGET_MRAYS = 50.0
 
 
-def time_config(scene, cam, cfg, frames=10, profile_dir=None):
-    """Time ``frames`` full frames of row-banded 1-sample launches.
-    Returns measured Mrays/s (issued queries / wall time)."""
+def time_config(scene, cam, cfg, frames=10, profile_dir=None, windows=1):
+    """Time ``windows`` back-to-back windows of ``frames`` full frames of
+    row-banded 1-sample launches. Returns a list of per-window Mrays/s
+    (issued queries / wall time) — multiple windows let the artifact carry
+    the same-session SPREAD (the relay host drifts 12.3-13.7 on identical
+    code across hours, so a single number under-informs round-over-round
+    comparisons; see BENCH_NOTES measurement protocol)."""
     height = cfg.height
     band = min(height, cfg.max_rays_per_pass // cfg.width)
     # one fused dispatch per frame: sample 0 over all row bands (the
@@ -52,27 +56,30 @@ def time_config(scene, cam, cfg, frames=10, profile_dir=None):
     img, _, _ = _render_path_frame(scene, cfg, cam, si_mat, row0s, band)
     _ = float(img.sum())
 
-    prof = (
-        jax.profiler.trace(profile_dir)
-        if profile_dir
-        else contextlib.nullcontext()
-    )
-    t0 = time.perf_counter()
-    with prof:
-        outs = []
-        for _ in range(frames):
-            outs.append(
-                _render_path_frame(scene, cfg, cam, si_mat, row0s, band)
-            )
-        # one hard sync at the end (block_until_ready does not reliably
-        # block through the axon relay; a scalar readback does)
-        _ = float(outs[-1][0].sum() + outs[0][0].sum())
-    dt = (time.perf_counter() - t0) / frames
+    results = []
+    for w in range(windows):
+        prof = (
+            jax.profiler.trace(profile_dir)
+            if profile_dir and w == 0
+            else contextlib.nullcontext()
+        )
+        t0 = time.perf_counter()
+        with prof:
+            outs = []
+            for _ in range(frames):
+                outs.append(
+                    _render_path_frame(scene, cfg, cam, si_mat, row0s, band)
+                )
+            # one hard sync at the end (block_until_ready does not reliably
+            # block through the axon relay; a scalar readback does)
+            _ = float(outs[-1][0].sum() + outs[0][0].sum())
+        dt = (time.perf_counter() - t0) / frames
 
-    # issued-query counters were computed on-device during the timed region;
-    # reading them back now costs nothing against the measurement
-    queries = sum(int(q) for _, _, q in outs)
-    return queries / frames / dt / 1e6
+        # issued-query counters were computed on-device during the timed
+        # region; reading them back now costs nothing vs the measurement
+        queries = sum(int(q) for _, _, q in outs)
+        results.append(queries / frames / dt / 1e6)
+    return results
 
 
 def main():
@@ -110,7 +117,11 @@ def main():
     cam6 = PerspectiveCamera.make(
         30.0, *STAGE6_CAMERA, focal_distance=16.0, lens_radius=0.0
     )
-    mrays6 = time_config(scene6, cam6, cfg6, profile_dir=args.profile)
+    windows6 = time_config(
+        scene6, cam6, cfg6, profile_dir=args.profile,
+        windows=1 if args.profile else 3,
+    )
+    mrays6 = sorted(windows6)[len(windows6) // 2]  # median window
 
     if args.profile:
         from rayito_tpu.utils.profiling import phase_table
@@ -119,7 +130,7 @@ def main():
         for label, ms, cnt in phase_table(args.profile, divisor=10):
             print(f"  {label:<45} {ms:8.2f} ms  ({cnt} ops)", file=sys.stderr)
 
-    extra = {}
+    extra = {"stage6_windows": [round(w, 3) for w in windows6]}
     if not args.skip_motion:
         # stage-7 scene 2: the BASELINE.md-tracked animated/motion-blur
         # config (512x256, 1 spp, depth 3 — BENCH_NOTES.md "Many-mesh
@@ -140,7 +151,7 @@ def main():
             shutter_open=0.0, shutter_close=1.0,
         )
         extra["stage7b_motion_path_trace"] = round(
-            time_config(scene7, cam7, cfg7), 3
+            time_config(scene7, cam7, cfg7)[0], 3
         )
 
     if not args.skip_big:
@@ -159,9 +170,11 @@ def main():
         )
         scene_big = big_streamed_scene().compile()
         cam_big = PerspectiveCamera.make(40.0, *STAGE6_CAMERA)
+        big_w = time_config(scene_big, cam_big, cfg_big, frames=3, windows=3)
         extra["big_245k_streamed_path_trace"] = round(
-            time_config(scene_big, cam_big, cfg_big, frames=3), 3
+            sorted(big_w)[len(big_w) // 2], 3
         )
+        extra["big_windows"] = [round(w, 3) for w in big_w]
 
     print(
         json.dumps(

@@ -248,7 +248,7 @@ def main(argv=None):
     write_out(img)
 
     if args.interactive and mode == "path" and viewer is not None:
-        _interactive_loop(args, scene, cam_spec, viewer, write_out)
+        _interactive_loop(args, scene, cam_spec, viewer, write_out, mesh=mesh)
     return 0
 
 
@@ -261,11 +261,21 @@ _KNOB_TYPES = {
     "exposure": float, "gamma": float,
 }
 
+# upper bounds for the integer knobs: POST /render payloads come from the
+# network (the viewer binds loopback by default when knobs are enabled, but
+# a user may open the host), so an unbounded width/height/spp int must not
+# be able to request a terabyte-scale render
+_KNOB_MAX = {
+    "width": 16384, "height": 16384, "pixel_samples": 64,
+    "light_samples": 16, "depth": 64,
+}
+
 
 def apply_knobs(args, fov, req):
     """Coerce a {name: string} knob submission onto the arg namespace;
-    invalid values keep the old setting. Returns the (possibly updated)
-    fov. Pure argument plumbing — split out for unit testing."""
+    invalid or out-of-range values keep the old setting. Returns the
+    (possibly updated) fov. Pure argument plumbing — split out for unit
+    testing."""
     for name, raw in req.items():
         ctor = _KNOB_TYPES.get(name)
         if ctor is None:
@@ -274,7 +284,7 @@ def apply_knobs(args, fov, req):
             val = ctor(float(raw)) if ctor is int else ctor(raw)
         except (TypeError, ValueError):
             continue
-        if ctor is int and val < 1:
+        if ctor is int and not 1 <= val <= _KNOB_MAX[name]:
             continue
         if name == "fov":
             fov = val
@@ -289,10 +299,15 @@ def apply_knobs(args, fov, req):
     return fov
 
 
-def _interactive_loop(args, scene, cam_spec, viewer, write_out):
+def _interactive_loop(args, scene, cam_spec, viewer, write_out, mesh=None):
     """Serve knob-change re-renders until Ctrl-C — the Qt GUI's
     spinbox/render-button loop (MainWindow.cpp:139-236: the reference
-    rebuilds params and calls raytrace on every button click)."""
+    rebuilds params and calls raytrace on every button click).
+
+    ``mesh``: the jax.sharding.Mesh from --sharded, threaded through so
+    every re-render stays on the sharded path (not just the first render);
+    the checkpoint path rides along too — render_progressive digest-guards
+    it, so knob changes simply start fresh instead of blending."""
     from .models.camera import PerspectiveCamera
     from .render.progressive import render_progressive
     from .utils.config import RenderConfig
@@ -328,7 +343,9 @@ def _interactive_loop(args, scene, cam_spec, viewer, write_out):
         viewer.set_state("rendering")
         t0 = time.perf_counter()
         img, stats = render_progressive(
-            scene, cfg, camera, on_preview=viewer.on_preview
+            scene, cfg, camera, on_preview=viewer.on_preview, mesh=mesh,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
         )
         viewer.update(img, stats)
         viewer.set_state("idle")

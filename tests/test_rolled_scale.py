@@ -98,6 +98,68 @@ def test_rolled_spheres_match_unrolled(motion, monkeypatch):
     np.testing.assert_array_equal(occ_r, occ_u)
 
 
+def _many_rect_scene(n_rects=40, motion=False):
+    rs = np.random.default_rng(7)
+    b = rt.Scene()
+    b.add(rt.Plane((0, -2, 0), (0, 1, 0), rt.DiffuseMaterial((0.7, 0.7, 0.7))))
+    for i in range(n_rects):
+        r = rt.RectangleLight(
+            tuple(rs.uniform(-6, 6, 3)),
+            tuple(rs.uniform(-1.5, 1.5, 3)),
+            tuple(rs.uniform(-1.5, 1.5, 3)),
+            tuple(rs.uniform(0.5, 1.0, 3)), 2.0,
+        )
+        if motion and i % 3 == 0:
+            tr = rt.Transform()
+            tr.set_translation(0.0, tuple(rs.uniform(-0.5, 0.5, 3)))
+            tr.set_translation(1.0, tuple(rs.uniform(-0.5, 0.5, 3)))
+            r.transform = tr
+        b.add(r)
+    return b.compile(traversal="xla")
+
+
+@pytest.mark.parametrize("motion", [False, True])
+def test_rolled_rects_match_unrolled(motion, monkeypatch):
+    """>ROLL_SHAPES rectangles take the fori_loop fold (closest-hit AND
+    any-hit) — O(1)-in-count compile, same winners as the unrolled fold."""
+    import rayito_tpu.render.trace as tr_mod
+
+    scene = _many_rect_scene(40, motion=motion)
+    n = 1024
+    o, d = _rays(n)
+    time = jnp.full((n,), 0.4, jnp.float32)
+    tmax = jnp.full((n,), 1e30, jnp.float32)
+
+    def run():
+        jax.clear_caches()  # ROLL_SHAPES is read at trace time
+        h = scene_intersect(scene, o, d, time, 1e-4, tmax)
+        occ, _ = scene_occluded(scene, o, d, time, 1e-4,
+                                jnp.full((n,), 10.0, jnp.float32))
+        return h, np.asarray(occ)
+
+    monkeypatch.setattr(tr_mod, "ROLL_SHAPES", 10_000)  # force unrolled
+    h_u, occ_u = run()
+    monkeypatch.setattr(tr_mod, "ROLL_SHAPES", 4)  # force rolled
+    h_r, occ_r = run()
+
+    assert np.asarray(h_u.valid).sum() > n // 8
+    np.testing.assert_array_equal(np.asarray(h_r.valid), np.asarray(h_u.valid))
+    np.testing.assert_array_equal(np.asarray(h_r.shape_id),
+                                  np.asarray(h_u.shape_id))
+    np.testing.assert_array_equal(np.asarray(h_r.mat), np.asarray(h_u.mat))
+    m = np.asarray(h_u.valid)
+    # same FMA-contraction caveat as the sphere test: winner ids exact,
+    # t/normals within per-program-shape contraction noise
+    np.testing.assert_allclose(np.asarray(h_r.t)[m], np.asarray(h_u.t)[m],
+                               rtol=2e-4)
+    for c in "xyz":
+        np.testing.assert_allclose(
+            np.asarray(getattr(h_r.normal, c))[m],
+            np.asarray(getattr(h_u.normal, c))[m], atol=6e-3,
+        )
+    np.testing.assert_array_equal(occ_r, occ_u)
+
+
 def test_rolled_lights_match_unrolled(monkeypatch):
     import rayito_tpu.render.pathtracer as pt_mod
 

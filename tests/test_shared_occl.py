@@ -74,6 +74,49 @@ def test_pair_matches_independent_calls():
     np.testing.assert_array_equal(np.asarray(occ2), np.asarray(ref2))
 
 
+def test_fused_pair_matches_independent_calls():
+    """scene_occluded_pair with fuse_occl_pair (BOTH queries in ONE
+    2N-lane launch per domain, full coherence key over the combined
+    population) == two scene_occluded calls, bit for bit — incl. lanes
+    dead in one query but live in the other and lanes dead in both."""
+    sc = _scene()
+    sc_on = dataclasses.replace(sc, fuse_occl_pair=True)
+    n = 257  # force SB padding (the 2N launch pads differently than N)
+    o, d1 = _rays(n, seed=5)
+    _, d2 = _rays(n, seed=11)
+    rng = np.random.default_rng(7)
+    tmax1 = jnp.asarray(rng.uniform(0.0, 8.0, n), jnp.float32)
+    tmax2 = jnp.asarray(rng.uniform(0.0, 8.0, n), jnp.float32)
+    tmax2 = jnp.where(jnp.arange(n) % 3 == 0, 0.0, tmax2)  # dead-in-2 lanes
+    tmax1 = jnp.where(jnp.arange(n) % 7 == 0, 0.0, tmax1)
+    time = jnp.zeros((n,), jnp.float32)
+    live = (tmax1 > 0) | (tmax2 > 0)
+
+    ref1, _ = scene_occluded(sc, o, d1, time, 1e-4, tmax1)
+    ref2, _ = scene_occluded(sc, o, d2, time, 1e-4, tmax2)
+    occ1, occ2, _ = scene_occluded_pair(
+        sc_on, o, d1, tmax1, d2, tmax2, time, 1e-4, live
+    )
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(ref1))
+    np.testing.assert_array_equal(np.asarray(occ2), np.asarray(ref2))
+
+
+def test_render_identical_with_fused_pair():
+    """Full path render: fuse_occl_pair on == off (image and counters)."""
+    sc = _scene()
+    cfg = RenderConfig(width=24, height=16, pixel_samples=2,
+                       light_samples=1, max_depth=3, aspect_correction=True)
+    cam = PerspectiveCamera.make(
+        45.0, (0.0, 3.0, 9.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0)
+    )
+    img_off, _, q_off = render_path_with_stats(sc, cfg, cam)
+    img_on, _, q_on = render_path_with_stats(
+        dataclasses.replace(sc, fuse_occl_pair=True), cfg, cam
+    )
+    np.testing.assert_array_equal(np.asarray(img_on), np.asarray(img_off))
+    assert int(q_on) == int(q_off)
+
+
 @pytest.mark.parametrize("mesh_light", [False, True])
 def test_render_identical_with_shared_sort(mesh_light):
     """Full path render: share_occl_sort on == off, image and query counter
