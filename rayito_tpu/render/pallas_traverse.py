@@ -1205,8 +1205,9 @@ def _mask_kernel(
     makes units spatially contiguous, so coherently-sorted blocks
     usually touch few of them."""
     del n_words
+    acc_ref = None
     if gate:
-        root_ref, out_ref = rest
+        root_ref, out_ref, acc_ref = rest
     else:
         (out_ref,) = rest
         root_ref = None
@@ -1319,13 +1320,17 @@ def _mask_kernel(
                 far >= tmin
             )
 
-        # gated path: one [b, 128] unit-root pre-test, zero the row, then
-        # each live unit accumulates its pack partial into its group's
-        # 64-column word block
+        # gated path: one [b, 128] unit-root pre-test, then each live unit
+        # accumulates its pack partial into the VMEM SCRATCH accumulator
+        # at a static column offset (pl.when skips the slab+pack work for
+        # dead units); one full-width dynamic-row store at the end.
+        # Accumulating through out_ref directly would need a
+        # dynamic-sublane load at a 64-column offset — for >2 groups that
+        # offset lands mid-lane-tile and Mosaic rejects it ("dynamic load
+        # with unaligned indices"), so any gated scene over ~2048 padded
+        # clusters failed to COMPILE before this scratch form.
         rhit = slab_root(root_ref[...]).astype(jnp.float32)  # [b, 128]
-        out_ref[0, pl.ds(r * nsub, nsub), :] = jnp.zeros(
-            (nsub, groups * 64), jnp.float32
-        )
+        acc_ref[...] = jnp.zeros((nsub, groups * 64), jnp.float32)
         n_units = -(-c_pad // gate)
         for u in range(n_units):
             c0 = u * gate
@@ -1336,12 +1341,11 @@ def _mask_kernel(
             @pl.when(u_live)
             def _u_work(c0=c0, width=width, g=g):
                 part = pack(slab(box[:, c0 : c0 + width]), c0)
-                cur = out_ref[
-                    0, pl.ds(r * nsub, nsub), g * 64 : (g + 1) * 64
-                ]
-                out_ref[
-                    0, pl.ds(r * nsub, nsub), g * 64 : (g + 1) * 64
-                ] = cur + part
+                acc_ref[:, g * 64 : (g + 1) * 64] = (
+                    acc_ref[:, g * 64 : (g + 1) * 64] + part
+                )
+
+        out_ref[0, pl.ds(r * nsub, nsub), :] = acc_ref[...]
 
         return carry
 
@@ -1457,6 +1461,9 @@ def _block_masks_pallas(soat, cl_box, tmin: float, n_words: int,
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_struct((n_steps, rbm, groups * 64), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((nsub, groups * 64), jnp.float32)] if gate else []
+        ),
         interpret=interpret,
     )(*ops)
     h4 = halves.reshape(n_steps, rbm, groups, 64)

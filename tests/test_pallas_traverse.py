@@ -333,6 +333,58 @@ def test_mask_kernel_multi_group_matches_xla():
         assert m_pallas.any()  # the scene actually produces candidates
 
 
+def test_mask_kernel_three_groups_gated_matches_xla():
+    """>=3 pack groups (c_pad > 2048) with the unit gate ON — the
+    big-scene-with-subtree-cuts regime (2712 clusters). The gated
+    accumulation must go through the VMEM scratch at static offsets: the
+    previous out_ref read-modify-write form needed a dynamic-sublane load
+    at 64-column offsets that land mid-lane-tile for >2 groups, which
+    Mosaic rejects at COMPILE time ("dynamic load with unaligned
+    indices") — so this configuration could never run on hardware.
+    Interpret mode pins the semantics; bit-identity on hardware is
+    asserted by every frame_ab warmup."""
+    from rayito_tpu.render.pallas_traverse import (
+        SB,
+        _block_masks,
+        _block_masks_pallas,
+    )
+
+    rs = np.random.default_rng(23)
+    c = 2816  # 128-multiple, 3 pack groups (1024+1024+768 lanes)
+    n_real = 2712
+    n_words = -(-c // 32)
+    lo = rs.uniform(-20, 19, (3, c)).astype(np.float32)
+    # push the tail of group 2 far away so some units gate off
+    lo[1, 2048:] += 400.0
+    box = np.concatenate(
+        [lo, lo + rs.uniform(0.1, 2.0, (3, c)).astype(np.float32),
+         np.zeros((2, c), np.float32)], axis=0
+    )
+    box[0:6, n_real:] = 1e30  # lane pads inside the last unit
+    o = rs.uniform(-25, 25, (SB, 3)).astype(np.float32)
+    d = rs.normal(size=(SB, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(SB, np.inf, np.float32)
+    tmax[:64] = 0.0  # dead lanes
+    soat = jnp.asarray(
+        np.concatenate(
+            [o, d, tmax[:, None], np.zeros((SB, 1), np.float32)], axis=1
+        )
+    ).reshape(1, SB, 8)
+    m_xla = np.asarray(_block_masks(
+        *(jnp.asarray(o[:, k]) for k in range(3)),
+        *(1.0 / jnp.asarray(d[:, k]) for k in range(3)),
+        1e-4, jnp.asarray(tmax), jnp.asarray(box), SB // 128,
+    ))
+    for gate in (0, 1024, 512):
+        m_pallas = np.asarray(_block_masks_pallas(
+            soat, jnp.asarray(box), 1e-4, n_words, True, gate=gate
+        ))
+        assert m_pallas.shape == m_xla.shape == (SB // 128, n_words)
+        np.testing.assert_array_equal(m_pallas, m_xla)
+        assert m_pallas.any()
+
+
 def test_mask_gate_skips_disjoint_groups_exactly():
     """Group-root gate on spatially-disjoint groups: rays aimed only at
     group 0's region must produce bit-identical masks with the gate on
