@@ -1887,6 +1887,15 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
         outs = jax.lax.sort(ops, dimension=1, num_keys=1)
         prim = outs[1].reshape(n_steps * sb)
         t = outs[2].reshape(n_steps * sb) if want_t else None
+    elif any_hit and not want_t and n_steps * sb < (1 << 30):
+        # any-hit consumers only read `prim >= 0`: ride the hit bit on the
+        # lane id and invert with a ONE-operand sort (each payload operand
+        # of the inverse sort measured ~0.1 ms per 131k-lane launch —
+        # sort.16x rows in the fusion attribution). prim comes back as
+        # 0 (hit) / -1 (miss), preserving the `p >= 0` contract.
+        word = (perm << 1) | (p_bn.reshape(-1) >= 0).astype(jnp.int32)
+        prim = (jax.lax.sort(word) & 1) - 1
+        t = None
     else:
         ops = (perm, p_bn.reshape(-1)) + (
             (t_bn.reshape(-1),) if want_t else ()
