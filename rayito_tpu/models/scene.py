@@ -755,6 +755,12 @@ class Scene:
         share_occl_sort = os.environ.get("RAYITO_SHARE_OCCL_SORT", "0") == "1"
         fuse_occl_pair = os.environ.get("RAYITO_FUSE_OCCL_PAIR", "0") == "1"
         live_prefix = os.environ.get("RAYITO_LIVE_PREFIX", "1") == "1"
+        gather_chunks = int(os.environ.get("RAYITO_GATHER_CHUNKS", "8"))
+        if gather_chunks < 0 or gather_chunks == 1:
+            raise ValueError(
+                "RAYITO_GATHER_CHUNKS must be 0 (monolithic gather) or a "
+                f"chunk count >= 2, got {gather_chunks}"
+            )
         fuse_sort = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
         mask_gate = int(os.environ.get("RAYITO_MASK_GATE", "1024"))
         if mask_gate not in (0, 128, 256, 512, 1024):
@@ -1050,6 +1056,7 @@ class Scene:
             share_occl_sort=share_occl_sort,
             fuse_occl_pair=fuse_occl_pair,
             live_prefix=live_prefix,
+            gather_chunks=gather_chunks,
             traverse_prune=traverse_prune,
             fuse_sort=fuse_sort,
             mask_gate=mask_gate,
@@ -1251,6 +1258,18 @@ class SceneData:
     # waves run sparse. Resolved from RAYITO_LIVE_PREFIX at compile.
     live_prefix: bool = dataclasses.field(
         metadata=dict(static=True), default=True
+    )
+    # chunked live-prefix row gather: split each launch's post-sort
+    # soa8[perm] row gather into this many step-aligned chunks behind
+    # lax.cond so chunks wholly past the live prefix skip their gather
+    # (the biggest single "other" op in the fusion attribution; dead rows
+    # averaged ~64% of lane-slots on the stage-6 bench). 0 = monolithic.
+    # Pure-perf, bit-identical (skipped rows are never read compiled;
+    # interpret mode's post-mask restores exact misses). Resolved from
+    # RAYITO_GATHER_CHUNKS at compile. Default 8: measured +1.2-2.6%
+    # across stage-6/depth-8/big (BENCH_NOTES round 5); 16 loses 17%.
+    gather_chunks: int = dataclasses.field(
+        metadata=dict(static=True), default=8
     )
     # in-kernel best-t cluster prune / any-hit lane freeze ('0' off | '1'
     # everywhere | 'anyhit' occlusion only): measured a loss at stage-6

@@ -140,6 +140,21 @@ FUSE_SORT = os.environ.get("RAYITO_FUSE_SORT", "0") == "1"
 # bounces where waves run sparse (the depth-8 sweep's 2x per-query cost,
 # BENCH_NOTES round 4). Compile-time SceneData field like the rest.
 LIVE_PREFIX = os.environ.get("RAYITO_LIVE_PREFIX", "1") == "1"
+# chunked live-prefix row gather: split the post-sort soa8[perm] row
+# gather (the single biggest "other" op, ~0.24 ms/launch) into this many
+# equal step-aligned chunks, each behind a lax.cond on the live prefix —
+# chunks past the last live step skip their gather entirely (their rows
+# are pad values never read by the dyn-grid-bounded kernels; interpret
+# mode computes on the pads and the existing post-mask restores exact
+# miss outputs either way). At the stage-6 issued/lane-slot ratio (~36%
+# live averaged over launches) most launches skip over half their gather
+# rows. 0 = monolithic gather; requires dyn_grid (live_prefix on,
+# global sort) and n_steps divisible by the chunk count to engage.
+# Default 8, measured in interleaved idle-host pairs (BENCH_NOTES
+# round 5): stage-6 21.84 -> 22.29 (+2.1%), depth-8 12.84 -> 13.17
+# (+2.6%), big 245k 10.76 -> 10.89 (+1.2%); 4 is a wash vs 8 and 16
+# loses 17% (too-fine cond bodies defeat XLA's gather tiling).
+GATHER_CHUNKS = int(os.environ.get("RAYITO_GATHER_CHUNKS", "8"))
 # unit-root mask gate (scenes whose c_pad spans >=2 units): per
 # ray-block, a [b, 128] pre-test against each UNIT-cluster root box
 # skips structurally-all-zero unit slabs (see _mask_kernel). Value =
@@ -1633,7 +1648,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
              mask_gate: int | None = None,
              tri_chunk: int | None = None,
              sb: int | None = None,
-             live_prefix: bool | None = None):
+             live_prefix: bool | None = None,
+             gather_chunks: int | None = None):
     """Nearest triangle hit for rays (o, d: V3 of [N]) against one kernel
     table set. tmax: [N]. Returns (t [N] f32 (INF on miss), prim [N] i32
     table-local triangle id or -1). With ``want_t=False`` t is returned as
@@ -1665,6 +1681,8 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
     sb = SB if sb is None else int(sb)
     if live_prefix is None:
         live_prefix = LIVE_PREFIX
+    if gather_chunks is None:
+        gather_chunks = GATHER_CHUNKS
     fuse_sort = FUSE_SORT if fuse_sort is None else bool(fuse_sort)
     mask_gate = MASK_GATE if mask_gate is None else int(mask_gate)
     tri_chunk = TRI_CHUNK if tri_chunk is None else int(tri_chunk)
@@ -1782,7 +1800,31 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
                 jnp.arange(n_steps, dtype=jnp.int32)[:, None] * sb + pl_
             ).reshape(-1)
         if not (fuse_sort and mode == "global"):
-            soa8 = soa8[perm]  # ONE row gather for all 8 components
+            gc = int(gather_chunks or 0)
+            if (dyn_grid and mode == "global" and gc > 1
+                    and n_steps % gc == 0):
+                # chunked live-prefix gather: dead lanes are a contiguous
+                # TAIL in sorted space, so step-aligned chunks wholly past
+                # the live prefix skip their row gathers behind lax.cond.
+                # Skipped chunks emit the same pad rows as launch padding
+                # (d=1, tmax=0 — well-defined, no candidates); the
+                # dyn-grid-bounded kernels never read them compiled, and
+                # interpret mode's post-mask restores exact miss outputs.
+                ncs = n_steps // gc  # steps per chunk
+                rows = ncs * sb
+                live_floor = jnp.maximum(n_live_steps, 1)
+                parts = []
+                for c in range(gc):
+                    start = c * rows
+                    parts.append(jax.lax.cond(
+                        jnp.int32(c * ncs) < live_floor,
+                        lambda s=start: soa8[perm[s:s + rows]],
+                        lambda: jnp.zeros((rows, 8), f32)
+                        .at[:, 3:6].set(1.0),
+                    ))
+                soa8 = jnp.concatenate(parts)
+            else:
+                soa8 = soa8[perm]  # ONE row gather for all 8 components
 
     soat = soa8.reshape(n_steps, sb, 8)
     c_pad = jnp.asarray(tables.cl_box).shape[1]

@@ -583,6 +583,7 @@ def _mesh_candidate_pallas(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
             prune_mode=scene.traverse_prune, fuse_sort=scene.fuse_sort,
             mask_gate=scene.mask_gate, tri_chunk=scene.tri_chunk,
             sb=scene.traverse_sb, live_prefix=scene.live_prefix,
+            gather_chunks=scene.gather_chunks,
         )
         # winner re-test per domain: exact t + barycentrics + shading meta
         # from ONE fused 32-col row gather (the kernel's packed key carries
@@ -877,6 +878,7 @@ def scene_occluded(scene: SceneData, o: V3, d: V3, time, tmin, tmax):
                 sub=scene.traverse_sub, prune_mode=scene.traverse_prune,
                 fuse_sort=scene.fuse_sort, mask_gate=scene.mask_gate,
                 tri_chunk=scene.tri_chunk, sb=scene.traverse_sb, live_prefix=scene.live_prefix,
+                gather_chunks=scene.gather_chunks,
                 # occlusion semantics: lanes freeze on first exact hit and
                 # stop voting in the kernel's best-t prune (vpu only — the
                 # mxu/bw paths' approximate winners need the re-test below)
@@ -992,6 +994,7 @@ def scene_occluded_pair(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
                 prune_mode=scene.traverse_prune,
                 mask_gate=scene.mask_gate, tri_chunk=scene.tri_chunk,
                 sb=scene.traverse_sb, live_prefix=scene.live_prefix,
+                gather_chunks=scene.gather_chunks,
             )
             hit_s |= p_s >= 0
         hits_sorted.append(hit_s)
@@ -1075,6 +1078,7 @@ def _occluded_pair_fused(scene: SceneData, o: V3, d1: V3, tmax1, d2: V3,
             sub=scene.traverse_sub, prune_mode=scene.traverse_prune,
             fuse_sort=scene.fuse_sort, mask_gate=scene.mask_gate,
             tri_chunk=scene.tri_chunk, sb=scene.traverse_sb, live_prefix=scene.live_prefix,
+            gather_chunks=scene.gather_chunks,
             any_hit=mt == "vpu",
         )
         if mt != "vpu":  # approximate-t winners re-test exactly (see

@@ -628,3 +628,47 @@ def test_fused_sort_bit_identical():
                             fuse_sort=True, any_hit=any_hit)
         np.testing.assert_array_equal(np.asarray(p_g), np.asarray(p_f))
         np.testing.assert_array_equal(np.asarray(t_g), np.asarray(t_f))
+
+
+def test_gather_chunks_bit_identical():
+    """The chunked live-prefix row gather (gather_chunks) is pure perf:
+    step-aligned gather chunks wholly past the live prefix are skipped
+    behind lax.cond, so (t, prim) must be BIT-identical to the monolithic
+    soa8[perm] gather — including with a large dead tail (tmax=0 lanes,
+    which sort past the live prefix and land in skipped chunks) and for
+    both closest-hit and any-hit launches."""
+    centers, v0, v1, v2 = _geometry(400, seed=31)
+    rs = np.random.default_rng(32)
+    n = 2048  # sb=256 -> 8 steps: divisible by gather_chunks=4
+    o = (centers.mean(0) + rs.normal(0, 20, (n, 3))).astype(np.float32)
+    tgt = centers[rs.integers(0, 400, n)]
+    d = (tgt - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(n, np.inf, np.float32)
+    tmax[n // 3 :] = 0.0  # dead tail: 2/3 of lanes sort past the prefix
+    tbl = _Tbl(build_kernel_tables(v0, v1, v2, np.ones(400, bool)))
+    args = (
+        V3(*(jnp.asarray(o[:, k]) for k in range(3))),
+        V3(*(jnp.asarray(d[:, k]) for k in range(3))),
+        jnp.asarray(tmax), tbl, 1e-4,
+    )
+    for any_hit in (False, True):
+        t_m, p_m = traverse(*args, interpret=True, sort_rays=True,
+                            live_prefix=True, sb=256, gather_chunks=0,
+                            any_hit=any_hit)
+        t_c, p_c = traverse(*args, interpret=True, sort_rays=True,
+                            live_prefix=True, sb=256, gather_chunks=4,
+                            any_hit=any_hit)
+        np.testing.assert_array_equal(np.asarray(p_m), np.asarray(p_c))
+        if t_m is not None:
+            np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_c))
+    # fully-live wavefront: every chunk runs, still identical
+    tmax2 = jnp.full((n,), jnp.inf)
+    t_m, p_m = traverse(args[0], args[1], tmax2, tbl, 1e-4, interpret=True,
+                        sort_rays=True, live_prefix=True, sb=256,
+                        gather_chunks=0)
+    t_c, p_c = traverse(args[0], args[1], tmax2, tbl, 1e-4, interpret=True,
+                        sort_rays=True, live_prefix=True, sb=256,
+                        gather_chunks=4)
+    np.testing.assert_array_equal(np.asarray(p_m), np.asarray(p_c))
+    np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_c))
