@@ -1801,6 +1801,15 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
             ).reshape(-1)
         if not (fuse_sort and mode == "global"):
             gc = int(gather_chunks or 0)
+            # gc < -1: hybrid variant — monolithic fallback when the live
+            # prefix reaches the last chunk. A measured LOSS on both dense
+            # and sparse workloads (stage-6 19.84 vs 21.20, depth-8 11.48
+            # vs 12.57, BENCH_NOTES round 5): the outer lax.cond forces
+            # soa8/perm materialization as cond operands, costing more
+            # than the ~1 ms/band of concat copies it saves. Kept as a
+            # parity-tested option only.
+            hybrid = gc < -1
+            gc = abs(gc)
             if (dyn_grid and mode == "global" and gc > 1
                     and n_steps % gc == 0):
                 # chunked live-prefix gather: dead lanes are a contiguous
@@ -1813,16 +1822,28 @@ def traverse(o, d, tmax, tables, tmin: float, n_active=None,
                 ncs = n_steps // gc  # steps per chunk
                 rows = ncs * sb
                 live_floor = jnp.maximum(n_live_steps, 1)
-                parts = []
-                for c in range(gc):
-                    start = c * rows
-                    parts.append(jax.lax.cond(
-                        jnp.int32(c * ncs) < live_floor,
-                        lambda s=start: soa8[perm[s:s + rows]],
-                        lambda: jnp.zeros((rows, 8), f32)
-                        .at[:, 3:6].set(1.0),
-                    ))
-                soa8 = jnp.concatenate(parts)
+
+                def _chunked():
+                    parts = []
+                    for c in range(gc):
+                        start = c * rows
+                        parts.append(jax.lax.cond(
+                            jnp.int32(c * ncs) < live_floor,
+                            lambda s=start: soa8[perm[s:s + rows]],
+                            lambda: jnp.zeros((rows, 8), f32)
+                            .at[:, 3:6].set(1.0),
+                        ))
+                    return jnp.concatenate(parts)
+
+                if hybrid:
+                    # measured loss — see the gc < -1 note above
+                    soa8 = jax.lax.cond(
+                        live_floor > jnp.int32((gc - 1) * ncs),
+                        lambda: soa8[perm],
+                        _chunked,
+                    )
+                else:
+                    soa8 = _chunked()
             else:
                 soa8 = soa8[perm]  # ONE row gather for all 8 components
 

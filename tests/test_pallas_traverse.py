@@ -656,12 +656,17 @@ def test_gather_chunks_bit_identical():
         t_m, p_m = traverse(*args, interpret=True, sort_rays=True,
                             live_prefix=True, sb=256, gather_chunks=0,
                             any_hit=any_hit)
-        t_c, p_c = traverse(*args, interpret=True, sort_rays=True,
-                            live_prefix=True, sb=256, gather_chunks=4,
-                            any_hit=any_hit)
-        np.testing.assert_array_equal(np.asarray(p_m), np.asarray(p_c))
-        if t_m is not None:
-            np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_c))
+        # +4 = chunked (default form), -4 = the hybrid monolithic-fallback
+        # variant (measured loss, kept as an option); both must be
+        # bit-identical to the monolithic gather
+        for gcv in (4, -4):
+            t_c, p_c = traverse(*args, interpret=True, sort_rays=True,
+                                live_prefix=True, sb=256, gather_chunks=gcv,
+                                any_hit=any_hit)
+            np.testing.assert_array_equal(np.asarray(p_m), np.asarray(p_c))
+            if t_m is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(t_m), np.asarray(t_c))
     # fully-live wavefront: every chunk runs, still identical
     tmax2 = jnp.full((n,), jnp.inf)
     t_m, p_m = traverse(args[0], args[1], tmax2, tbl, 1e-4, interpret=True,
